@@ -1,0 +1,214 @@
+"""Deterministic synthetic corpus of interleaved-span documents.
+
+Three document families (FIXTURES.md §1): HTML-like (boilerplate + main
+content), PDF-like (positioned blocks, tables, images — content plan modeled
+on the reference's golden generator ``test_pdf_generator.py:71-219``), and
+mixed.  Generation is a pure function of ``(doc index, seed)`` so the corpus
+can be materialized *inside Spark executors* (no driver-side collect) and is
+identical at any partitioning — the property the repartition-invariance tests
+rely on.
+
+Positioned blocks are emitted in a *scrambled* input order on purpose: the
+engine's reading-order reconstruction (geometry sort) must recover document
+order, exactly as docling recovers reading order from layout.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from typing import Optional
+
+PAGE_W, PAGE_H = 612.0, 792.0  # US Letter in PDF points
+
+_VOCAB = (
+    "data span table page block layout column row header footer figure caption "
+    "document corpus extract parse render margin anchor title body section text "
+    "index offset batch arrow vector schema partition shuffle lineage snapshot"
+).split()
+
+_BOILER_LINKS = ["Home", "About", "Products", "Pricing", "Blog", "Careers", "Contact", "Login"]
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_VOCAB) for _ in range(n))
+
+
+def _sentence(rng: random.Random) -> str:
+    s = _words(rng, rng.randint(8, 18))
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng) for _ in range(rng.randint(2, 5)))
+
+
+# ---------------------------------------------------------------------------
+# HTML family
+# ---------------------------------------------------------------------------
+
+def _html_doc_spans(rng: random.Random, n_fragments: int) -> list[dict]:
+    spans = []
+    for frag_i in range(n_fragments):
+        nav = "<nav><ul>" + "".join(f'<li><a href="/{x.lower()}">{x}</a></li>' for x in _BOILER_LINKS) + "</ul></nav>"
+        sidebar = (
+            '<div class="sidebar"><p>'
+            + " ".join(f'<a href="/p/{i}">{_words(rng, 2)}</a>' for i in range(6))
+            + "</p></div>"
+        )
+        ad = '<div id="ad-banner"><p>Buy now! <a href="/buy">Click here</a> limited offer!!!</p></div>'
+        title = _words(rng, rng.randint(3, 6)).title()
+        paras = "".join(f"<p>{_paragraph(rng)}</p>" for _ in range(rng.randint(2, 5)))
+        items = "".join(f"<li>{_sentence(rng)}</li>" for _ in range(rng.randint(3, 6)))
+        code = f"<pre>def f_{frag_i}(x):\n    return x + {frag_i}</pre>" if rng.random() < 0.4 else ""
+        footer = (
+            "<footer><p>Copyright 2026 · <a href='/terms'>Terms</a> · "
+            "<a href='/privacy'>Privacy</a> · <a href='/imprint'>Imprint</a></p></footer>"
+        )
+        html = (
+            f"<html><body>{nav}{sidebar}<article><h1>{title}</h1>{paras}"
+            f"<h2>{_words(rng, 3).title()}</h2><ul>{items}</ul>{code}</article>{ad}{footer}</body></html>"
+        )
+        spans.append({"kind": "html", "text": html, "media_ref": "", "offset": 0})
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# PDF-like family (positioned blocks; content plan per test_pdf_generator.py)
+# ---------------------------------------------------------------------------
+
+def _geom(page: int, x: float, y_top_from_top: float, w: float, h: float, origin: str) -> str:
+    """Encode a box whose top edge is ``y_top_from_top`` points from page top."""
+    if origin == "TOPLEFT":
+        y = y_top_from_top
+    else:  # BOTTOMLEFT: top edge measured from the bottom
+        y = PAGE_H - y_top_from_top
+    return f"{page},{x},{y},{w},{h},{origin}"
+
+
+def _pdf_doc_blocks(rng: random.Random, n_pages: int, blocks_per_page: int) -> list[dict]:
+    """Unordered positioned spans (offset assigned later, scrambled)."""
+    spans = [
+        {"kind": "page_dims", "text": "", "media_ref": f"{p},{PAGE_W},{PAGE_H}", "offset": 0}
+        for p in range(1, n_pages + 1)
+    ]
+    for page in range(1, n_pages + 1):
+        origin = rng.choice(["TOPLEFT", "BOTTOMLEFT"])
+        y = 60.0
+        for bi in range(blocks_per_page):
+            x = 72.0 + (bi % 2) * 6.0
+            r = rng.random()
+            if bi == 0:
+                role = "heading" if page == 1 else "text"
+                text = _words(rng, 4).title() if role == "heading" else _sentence(rng)
+                h = 24.0
+                spans.append({"kind": "text_block", "text": text,
+                              "media_ref": _geom(page, x, y, 400.0, h, origin) + f",{role}", "offset": 0})
+            elif r < 0.12:
+                cells = [[_words(rng, 1) for _ in range(4)]] + [
+                    [str(rng.randint(0, 999)) for _ in range(4)] for _ in range(rng.randint(2, 5))
+                ]
+                payload = json.dumps(
+                    {"caption": _words(rng, 3).title() if rng.random() < 0.5 else None, "cells": cells},
+                    sort_keys=True,
+                )
+                h = 18.0 * len(cells)
+                spans.append({"kind": "table_block", "text": payload,
+                              "media_ref": _geom(page, x, y, 440.0, h, origin), "offset": 0})
+            elif r < 0.30:
+                # Image: mixture of kept and filtered (small px / zone / tiny area).
+                variant = rng.random()
+                if variant < 0.2:
+                    px_w, px_h, w, h, y_img = 30, 30, 120.0, 90.0, y  # filter 1
+                elif variant < 0.35:
+                    px_w, px_h, w, h = 300, 200, 200.0, 20.0  # filter 2: footer zone
+                    y_img = PAGE_H - 25.0
+                elif variant < 0.5:
+                    px_w, px_h, w, h, y_img = 300, 200, 40.0, 30.0, y  # filter 3: tiny area
+                else:
+                    px_w, px_h, w, h, y_img = 300, 200, 240.0, 160.0, y  # kept
+                key = f"img-{rng.randint(0, 500)}"  # small keyspace → cross-doc dedup
+                alt = _words(rng, 2)
+                spans.append({"kind": "image", "text": alt,
+                              "media_ref": _geom(page, x, y_img, w, h, origin) + f",{px_w},{px_h},{key}",
+                              "offset": 0})
+                h = max(h, 20.0)
+            else:
+                role = rng.choice(["text", "text", "text", "list_item", "code", "caption"])
+                text = _sentence(rng) if role != "code" else f"x = {rng.randint(0, 99)}"
+                h = 20.0
+                spans.append({"kind": "text_block", "text": text,
+                              "media_ref": _geom(page, x, y, 430.0, h, origin) + f",{role}", "offset": 0})
+            y += h + 8.0
+            if y > PAGE_H - 80.0:
+                break
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Public corpus API
+# ---------------------------------------------------------------------------
+
+def build_doc(idx: int, seed: int = 42, *,
+              oversize_every: int = 97, oversize_factor: int = 40,
+              malformed_every: Optional[int] = 211) -> dict:
+    """Build document ``idx`` deterministically.  Returns {doc_id, spans}."""
+    rng = random.Random(f"{seed}:{idx}")
+    doc_id = f"doc-{seed}-{idx:08d}"
+    family = idx % 3
+    oversized = oversize_every and idx > 0 and idx % oversize_every == 0
+    scale = oversize_factor if oversized else 1
+
+    if malformed_every and idx > 0 and idx % malformed_every == 0:
+        spans = [
+            {"kind": "text_block", "text": "ok", "media_ref": "1,72,700,100,20,TOPLEFT,text", "offset": 0},
+            {"kind": "image", "text": "bad", "media_ref": "not,a,valid,ref", "offset": 1},
+        ]
+        return {"doc_id": doc_id, "spans": spans}
+
+    if family == 0:
+        spans = _html_doc_spans(rng, n_fragments=max(1, scale // 4) if oversized else 1)
+    elif family == 1:
+        spans = _pdf_doc_blocks(rng, n_pages=rng.randint(1, 3) * scale, blocks_per_page=rng.randint(6, 12))
+    else:
+        spans = _pdf_doc_blocks(rng, n_pages=max(1, scale), blocks_per_page=rng.randint(4, 8))
+        spans += _html_doc_spans(rng, n_fragments=1)
+
+    # Scramble input order (page_dims first to keep parsing simple), then
+    # assign strictly increasing offsets — reading order must be recovered
+    # from geometry, not input order.
+    dims = [s for s in spans if s["kind"] == "page_dims"]
+    rest = [s for s in spans if s["kind"] != "page_dims"]
+    rng.shuffle(rest)
+    ordered = dims + rest
+    for i, s in enumerate(ordered):
+        s["offset"] = i
+    return {"doc_id": doc_id, "spans": ordered}
+
+
+def make_corpus(n_docs: int, seed: int = 42, **kwargs) -> list[dict]:
+    """Driver-side corpus (tests / small fixtures)."""
+    return [build_doc(i, seed, **kwargs) for i in range(n_docs)]
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42, partitions: Optional[int] = None,
+              include_malformed: bool = True):
+    """Distributed corpus: generated inside executors via mapInArrow.
+
+    ``spark.range`` scales to any n_docs without driver materialization —
+    at 10^12 ids this is the same pattern, just a bigger range.
+    """
+    import pyarrow as pa
+
+    from .schemas import INPUT_ARROW
+
+    malformed_every = 211 if include_malformed else None
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            docs = [build_doc(i, seed, malformed_every=malformed_every) for i in ids]
+            yield pa.RecordBatch.from_pylist(docs, schema=pa.schema(list(INPUT_ARROW)))
+
+    rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInArrow(gen, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")

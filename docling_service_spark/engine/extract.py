@@ -1,0 +1,325 @@
+"""Per-document extraction: raw interleaved spans → ordered extraction result.
+
+Pure function; no Spark imports.  This is the engine's analog of the
+reference's ``_execute`` pipeline body (``app/main.py:300-336``):
+convert → save/filter images → extract tables → page dims → page-marker
+markdown → metadata block — collapsed into one deterministic pass over a
+document's span list.
+
+Determinism contract (north_rule): output depends only on ``(doc_id, spans)``,
+never on partitioning, batch boundaries, wall clock, or iteration order of any
+dict — so span-sequence equality holds across any cluster layout.
+
+Reading order: blocks sort by ``(page, y_from_top, x, input_offset, intra)``.
+Positioned blocks use their geometry; HTML-fragment blocks (no geometry) use
+``y_from_top = input offset`` so fragments keep input order and interleave
+deterministically in mixed documents.  This replaces docling's learned
+reading-order model with an explicit rule (SURVEY.md §4 item 3).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+from ..hashing import media_key, xxh64_hexdigest
+from . import geometry as G
+from .html_extract import extract_html_blocks
+
+RAW_KINDS = frozenset(["html", "text_block", "table_block", "image", "page_dims", "page_break"])
+TEXT_ROLES = frozenset(["text", "heading", "list_item", "code", "caption"])
+
+
+class _Block:
+    __slots__ = ("sort_key", "kind", "text", "level", "box", "payload")
+
+    def __init__(self, sort_key, kind, text="", level=0, box=None, payload=None):
+        self.sort_key = sort_key
+        self.kind = kind
+        self.text = text
+        self.level = level
+        self.box = box
+        self.payload = payload  # image: (px_w, px_h, content_key); table: cells/caption
+
+
+def _parse_html_page(media_ref: str) -> int:
+    if not media_ref:
+        return 1
+    if media_ref.startswith("page="):
+        return int(media_ref[5:])
+    raise G.MediaRefError(f"html media_ref must be '' or 'page=N': {media_ref!r}")
+
+
+def _collect_blocks(spans: list[dict], pages: dict[int, tuple[float, float]]) -> list[_Block]:
+    # Pass 1: page declarations.  Done first so a block's reading-order key
+    # never depends on whether its page_dims span precedes it in input order.
+    for span in spans:
+        if span["kind"] == "page_dims":
+            page, w, h = G.parse_page_dims(span.get("media_ref") or "")
+            pages[page] = (w, h)
+
+    blocks: list[_Block] = []
+    for span in spans:
+        kind = span["kind"]
+        text = span.get("text") or ""
+        ref = span.get("media_ref") or ""
+        off = span.get("offset")
+        off = 0 if off is None else int(off)
+        if kind == "page_dims":
+            continue
+        elif kind == "page_break":
+            continue  # page structure is declared via page_dims
+        elif kind == "html":
+            page = _parse_html_page(ref)
+            for j, (bkind, btext, blevel) in enumerate(extract_html_blocks(text)):
+                blocks.append(_Block((page, float(off), 0.0, off, j), bkind, btext, blevel))
+        elif kind == "text_block":
+            box, role = G.parse_text_block_ref(ref)
+            if role not in TEXT_ROLES:
+                raise G.MediaRefError(f"unknown text_block role {role!r}")
+            ph = pages.get(box.page, (None, None))[1]
+            key = (box.page, G.y_from_top(box, ph), box.x, off, 0)
+            level = 2 if role == "heading" else 0
+            blocks.append(_Block(key, role, text, level, box))
+        elif kind == "table_block":
+            box = G.parse_table_block_ref(ref)
+            try:
+                payload = json.loads(text)
+                cells = payload["cells"]
+                caption = payload.get("caption")
+            except (json.JSONDecodeError, TypeError, KeyError) as exc:
+                raise G.MediaRefError(f"malformed table_block payload: {exc}") from exc
+            ph = pages.get(box.page, (None, None))[1]
+            key = (box.page, G.y_from_top(box, ph), box.x, off, 0)
+            blocks.append(_Block(key, "table", "", 0, box, (cells, caption)))
+        elif kind == "image":
+            box, px_w, px_h, content_key = G.parse_image_ref(ref)
+            ph = pages.get(box.page, (None, None))[1]
+            key = (box.page, G.y_from_top(box, ph), box.x, off, 0)
+            blocks.append(_Block(key, "image", text, 0, box, (px_w, px_h, content_key)))
+        else:
+            raise G.MediaRefError(f"unknown raw span kind {kind!r}")
+    return blocks
+
+
+def _render_table(cells: list[list[Any]]) -> str:
+    if not cells:
+        return ""
+    rows = [[("" if c is None else str(c)) for c in row] for row in cells]
+    lines = ["| " + " | ".join(rows[0]) + " |"]
+    lines.append("|" + "|".join("---" for _ in rows[0]) + "|")
+    for row in rows[1:]:
+        lines.append("| " + " | ".join(row) + " |")
+    return "\n".join(lines)
+
+
+def _render_block(kind: str, text: str, level: int, media_ref: str) -> str:
+    if kind == "heading":
+        return "#" * max(level, 1) + " " + text
+    if kind == "list_item":
+        return "- " + text
+    if kind == "code":
+        return f"```\n{text}\n```"
+    if kind == "image":
+        return f"![{text}]({media_ref})"
+    if kind == "table":
+        return text
+    return text  # text, caption, page_marker handled elsewhere
+
+
+def _metadata_block(images: list[dict], tables: list[dict], pages_list: list[dict], doc_meta: dict) -> str:
+    """Fenced-JSON metadata block, structure per reference app/main.py:484-546."""
+    metadata_obj = {
+        "images": [
+            {
+                "id": img["id"],
+                "page": img["page"],
+                "position": {
+                    "x": img["x"],
+                    "y": img["y"],
+                    "width": img["width"],
+                    "height": img["height"],
+                    "coord_origin": img["coord_origin"],
+                    "x_norm": img["x_norm"],
+                    "y_norm": img["y_norm"],
+                    "width_norm": img["width_norm"],
+                    "height_norm": img["height_norm"],
+                },
+                "page_dimensions": img["_page_dimensions"],
+            }
+            for img in images
+        ],
+        "tables": [
+            {
+                "id": tbl["id"],
+                "page": tbl["page"],
+                "position": {
+                    "x": tbl["x"],
+                    "y": tbl["y"],
+                    "width": tbl["width"],
+                    "height": tbl["height"],
+                },
+                "page_dimensions": tbl["_page_dimensions"],
+                "num_rows": tbl["num_rows"],
+                "num_cols": tbl["num_cols"],
+            }
+            for tbl in tables
+        ],
+        "pages": [
+            {"page": i + 1, "width": pd["width"], "height": pd["height"]}
+            for i, pd in enumerate(pages_list)
+        ],
+        "metadata": doc_meta,
+    }
+    json_str = json.dumps(metadata_obj, indent=2)
+    return f"\n\n---\n\n<!-- DOCLING_METADATA_START -->\n```json\n{json_str}\n```\n<!-- DOCLING_METADATA_END -->\n"
+
+
+def extract_document(doc_id: str, spans: Optional[list[dict]]) -> dict:
+    """Extract one document.  Returns an OUTPUT_SCHEMA-shaped dict.
+
+    Raises on malformed input; the Spark shell converts exceptions into
+    ``status='failed'`` rows (mirrors reference app/main.py:338-345).
+    """
+    if spans is None:
+        raise ValueError("document has no spans")
+
+    pages: dict[int, tuple[float, float]] = {}
+    blocks = _collect_blocks(spans, pages)
+    blocks.sort(key=lambda b: b.sort_key)
+
+    # Ordinal ids count ALL images/tables in reading order, including images
+    # later filtered out (reference increments before filtering,
+    # app/main.py:589-590, then `continue`s at 707 without metadata).
+    picture_counter = 0
+    table_counter = 0
+    images_meta: list[dict] = []
+    tables_meta: list[dict] = []
+    out_blocks: list[dict] = []  # page -> rendered spans, pre page-marker pass
+
+    for b in blocks:
+        page = b.sort_key[0]
+        if b.kind == "image":
+            picture_counter += 1
+            image_id = f"picture-{picture_counter}"
+            px_w, px_h, content_key = b.payload
+            pdims = pages.get(b.box.page)
+            if G.image_skip_reason(b.box, px_w, px_h, pdims) is not None:
+                continue
+            content = content_key.encode("utf-8")
+            content_hash = xxh64_hexdigest(content)
+            ref = media_key(content)
+            norm = G.normalized_coords(b.box, pdims) or {
+                "x_norm": None, "y_norm": None, "width_norm": None, "height_norm": None,
+            }
+            images_meta.append(
+                {
+                    "id": image_id,
+                    "page": b.box.page,
+                    "x": b.box.x,
+                    "y": b.box.y,
+                    "width": b.box.width,
+                    "height": b.box.height,
+                    "coord_origin": b.box.coord_origin,
+                    **norm,
+                    "content_hash": content_hash,
+                    "_page_dimensions": (
+                        {"width": pdims[0], "height": pdims[1]} if pdims else None
+                    ),
+                }
+            )
+            out_blocks.append({"page": page, "kind": "image", "text": b.text, "media_ref": ref, "level": 0})
+        elif b.kind == "table":
+            table_counter += 1
+            table_id = f"table-{table_counter}"
+            cells, caption = b.payload
+            num_rows = len(cells)
+            num_cols = max((len(r) for r in cells), default=0)
+            pdims = pages.get(b.box.page)
+            tables_meta.append(
+                {
+                    "id": table_id,
+                    "page": b.box.page,
+                    "x": b.box.x,
+                    "y": b.box.y,
+                    "width": b.box.width,
+                    "height": b.box.height,
+                    "num_rows": num_rows,
+                    "num_cols": num_cols,
+                    "caption": caption,
+                    "_page_dimensions": (
+                        {"width": pdims[0], "height": pdims[1]} if pdims else None
+                    ),
+                }
+            )
+            out_blocks.append(
+                {"page": page, "kind": "table", "text": _render_table(cells), "media_ref": "", "level": 0}
+            )
+        else:
+            out_blocks.append(
+                {"page": page, "kind": b.kind, "text": b.text, "media_ref": "", "level": b.level}
+            )
+
+    # --- Page-marker assembly (reference app/main.py:431-482 semantics) ---
+    out_spans: list[dict] = []
+    md_chunks: list[str] = []
+    if not pages:
+        # No declared pages → whole doc, no markers (reference :442-450).
+        for blk in out_blocks:
+            out_spans.append({"kind": blk["kind"], "text": blk["text"], "media_ref": blk["media_ref"]})
+        md_chunks.extend(_render_block(b["kind"], b["text"], b["level"], b["media_ref"]) for b in out_blocks)
+        markdown_body = "\n\n".join(md_chunks)
+    else:
+        page_order = sorted(set(pages) | {b["page"] for b in out_blocks})
+        nonempty = 0
+        for page_no in page_order:
+            page_blocks = [b for b in out_blocks if b["page"] == page_no]
+            if not page_blocks:
+                continue  # empty page: no marker (reference :466-467)
+            nonempty += 1
+            marker = f"<!-- Page {page_no} -->"
+            out_spans.append({"kind": "page_marker", "text": marker, "media_ref": ""})
+            for blk in page_blocks:
+                out_spans.append({"kind": blk["kind"], "text": blk["text"], "media_ref": blk["media_ref"]})
+            page_md = "\n\n".join(
+                _render_block(b["kind"], b["text"], b["level"], b["media_ref"]) for b in page_blocks
+            )
+            md_chunks.append(f"{marker}\n\n{page_md}")
+        if nonempty == 0:
+            # Pages exist but all empty → single Page 1 marker (reference :472-480).
+            marker = "<!-- Page 1 -->"
+            out_spans.append({"kind": "page_marker", "text": marker, "media_ref": ""})
+            markdown_body = f"{marker}\n\n"
+        else:
+            markdown_body = "\n\n".join(md_chunks)
+
+    for i, s in enumerate(out_spans):
+        s["offset"] = i
+
+    pages_list = [
+        {"page": p, "width": w, "height": h} for p, (w, h) in sorted(pages.items())
+    ]
+    doc_meta = {
+        "total_pages": len(pages_list),
+        "total_images": len(images_meta),
+        "total_tables": len(tables_meta),
+        "source_filename": doc_id,
+        # Deterministic engine: wall time is a run-level metric (lineage table),
+        # never a per-row value; reference stores it per task (app/main.py:317).
+        "processing_time_ms": None,
+    }
+    markdown = markdown_body + _metadata_block(images_meta, tables_meta, pages_list, doc_meta)
+
+    def _strip(meta: dict) -> dict:
+        return {k: v for k, v in meta.items() if not k.startswith("_")}
+
+    return {
+        "doc_id": doc_id,
+        "spans": out_spans,
+        "images": [_strip(m) for m in images_meta],
+        "tables": [_strip(m) for m in tables_meta],
+        "pages": pages_list,
+        "markdown": markdown,
+        "status": "completed",
+        "detail": None,
+    }

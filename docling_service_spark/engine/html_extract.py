@@ -1,0 +1,188 @@
+"""HTML main-content extraction: stdlib DOM parse + boilerplate stripping.
+
+From-scratch implementation of the text-density / link-density family of
+heuristics (Readability, Boilerpipe, trafilatura lineage — see PAPERS.md).
+The reference delegates this class of work to docling's converter
+(``app/main.py:199-231``); here it is an explicit, unit-testable operator.
+
+Pipeline per HTML fragment:
+
+1. Parse with :class:`html.parser.HTMLParser` into a lightweight element tree.
+2. Prune non-content subtrees (script/style/svg/form/...).
+3. Prune boilerplate containers: structural tags (nav/aside/footer/header/menu)
+   and elements whose id/class/role tokens match the boilerplate vocabulary.
+4. Walk remaining tree in document order; emit leaf blocks
+   (p/h1-h6/li/pre/blockquote/figcaption, and divs with inline-only content).
+5. Score each block by text length and link density; keep per the rules in
+   :func:`_keep_block`.
+
+The classifier is a pure function of the fragment text, so extraction order is
+invariant under any Spark partitioning.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Optional, Union
+
+DROP_TAGS = frozenset(
+    "script style noscript template svg iframe form button select option input textarea canvas".split()
+)
+BOILERPLATE_TAGS = frozenset("nav aside footer header menu".split())
+_BOILERPLATE_TOKEN_RE = re.compile(
+    r"(?:^|[-_ ])(nav|navbar|menu|footer|header|sidebar|side|ad|ads|advert|advertisement|"
+    r"banner|breadcrumb|breadcrumbs|comment|comments|share|social|related|promo|sponsor|"
+    r"widget|cookie|popup|modal|subscribe|newsletter|pagination|meta|byline|masthead)(?:[-_ ]|$)"
+)
+VOID_TAGS = frozenset("br hr img meta link input area base col embed source track wbr".split())
+HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+LEAF_BLOCK_TAGS = HEADING_TAGS | frozenset("p li pre blockquote figcaption".split())
+CONTAINER_TAGS = frozenset(
+    "html body div main article section ul ol figure table thead tbody tr td th span a".split()
+)
+
+# Keep-rule thresholds (documented knobs of OUR heuristic, not the reference's;
+# the reference has no HTML path of its own — docling does it opaquely).
+MIN_TEXT_LEN = 25
+MAX_LINK_DENSITY = 0.333
+LONG_TEXT_LEN = 80
+LONG_TEXT_MAX_LINK_DENSITY = 0.5
+MIN_LIST_ITEM_LEN = 20
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _norm_text(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+class _Element:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Union[_Element, str]] = []
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Element("#root", {})
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        el = _Element(tag, dict(attrs))
+        self._stack[-1].children.append(el)
+        if tag not in VOID_TAGS:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._stack[-1].children.append(_Element(tag, dict(attrs)))
+
+    def handle_endtag(self, tag: str) -> None:
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+        # Unmatched close tag: ignore (lenient, like browsers).
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def _is_boilerplate(el: _Element) -> bool:
+    if el.tag in BOILERPLATE_TAGS:
+        return True
+    tokens = " ".join(
+        filter(None, (el.attrs.get("id", ""), el.attrs.get("class", ""), el.attrs.get("role", "")))
+    ).lower()
+    return bool(tokens and _BOILERPLATE_TOKEN_RE.search(tokens))
+
+
+def _text_and_link_len(el: _Element, in_link: bool = False) -> tuple[str, int]:
+    """Concatenated text of a subtree and the length of text under <a>."""
+    parts: list[str] = []
+    link_len = 0
+    for child in el.children:
+        if isinstance(child, str):
+            parts.append(child)
+            if in_link:
+                link_len += len(_norm_text(child))
+        else:
+            if child.tag in DROP_TAGS:
+                continue
+            t, ll = _text_and_link_len(child, in_link or child.tag == "a")
+            parts.append(t)
+            link_len += ll
+    return " ".join(parts), link_len
+
+
+def _keep_block(tag: str, text: str, link_density: float) -> bool:
+    if not text:
+        return False
+    if tag in HEADING_TAGS:
+        return link_density < 0.5
+    if tag == "pre":
+        return True
+    if tag == "figcaption":
+        return True
+    if tag == "li":
+        return len(text) >= MIN_LIST_ITEM_LEN and link_density <= MAX_LINK_DENSITY
+    if len(text) >= LONG_TEXT_LEN:
+        return link_density <= LONG_TEXT_MAX_LINK_DENSITY
+    return len(text) >= MIN_TEXT_LEN and link_density <= MAX_LINK_DENSITY
+
+
+def _block_kind(tag: str) -> str:
+    if tag in HEADING_TAGS:
+        return "heading"
+    if tag == "li":
+        return "list_item"
+    if tag == "pre":
+        return "code"
+    if tag == "figcaption":
+        return "caption"
+    return "text"
+
+
+def _heading_level(tag: str) -> int:
+    return int(tag[1]) if tag in HEADING_TAGS else 0
+
+
+def _has_element_children(el: _Element) -> bool:
+    return any(isinstance(c, _Element) and c.tag not in ("a", "b", "i", "em", "strong", "code", "span", "br")
+               for c in el.children)
+
+
+def _emit(el: _Element, out: list[tuple[str, str, int]]) -> None:
+    for child in el.children:
+        if isinstance(child, str):
+            continue
+        if child.tag in DROP_TAGS or _is_boilerplate(child):
+            continue
+        if child.tag in LEAF_BLOCK_TAGS or (child.tag == "div" and not _has_element_children(child)):
+            raw, link_len = _text_and_link_len(child)
+            text = _norm_text(raw)
+            density = (link_len / len(text)) if text else 1.0
+            if _keep_block(child.tag, text, density):
+                out.append((_block_kind(child.tag), text, _heading_level(child.tag)))
+            continue  # leaf blocks are terminal: no descent
+        _emit(child, out)
+
+
+def extract_html_blocks(fragment: str) -> list[tuple[str, str, int]]:
+    """Extract main-content blocks from an HTML fragment.
+
+    Returns ``[(kind, text, heading_level), ...]`` in document order, where
+    kind ∈ {heading, text, list_item, code, caption} and heading_level is
+    1-6 for headings, 0 otherwise.
+    """
+    builder = _TreeBuilder()
+    builder.feed(fragment)
+    builder.close()
+    out: list[tuple[str, str, int]] = []
+    _emit(builder.root, out)
+    return out

@@ -1,0 +1,75 @@
+"""Content hashing for media dedup keys.
+
+The reference computes ``xxhash.xxh64(img_bytes).hexdigest()`` (16 hex chars)
+and stores images under ``images/{hash}.png`` (reference:
+``app/main.py:717-718``, ``scripts/r2_migrate_xxhash.py:97-113``).  The
+``xxhash`` wheel is not available in this environment, so we implement the
+(public, BSD-licensed spec) XXH64 algorithm in pure Python.  Where the input
+bytes are identical, the produced key is byte-identical to the reference's.
+
+This module is dependency-free and is the single hash implementation used by
+both the extraction engine and the golden fixtures (SURVEY.md §2-A8).
+"""
+
+from __future__ import annotations
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 of ``data`` with ``seed`` (default 0, matching python-xxhash)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        end = n - 32
+        while i <= end:
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M, 31) * _P1) & _M
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M, 31) * _P1) & _M
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M, 31) * _P1) & _M
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & _M, 31) * _P1) & _M)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i : i + 8], "little") * _P2) & _M, 31) * _P1) & _M
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _M), 23) * _P2) + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M), 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def xxh64_hexdigest(data: bytes, seed: int = 0) -> str:
+    """16-hex-char digest, identical to ``xxhash.xxh64(data).hexdigest()``."""
+    return format(xxh64(data, seed), "016x")
+
+
+def media_key(content: bytes) -> str:
+    """Content-addressed storage key, shape per reference ``app/main.py:718``."""
+    return f"images/{xxh64_hexdigest(content)}.png"

@@ -1,0 +1,95 @@
+"""Vectorized batch extractor: Arrow RecordBatches in, Arrow RecordBatches out.
+
+Why ``mapInArrow`` and not a pandas UDF: the input column is
+``array<struct<...>>``; Series-to-Series pandas UDFs do not accept nested
+struct input, while Arrow record batches carry it natively (SURVEY.md §2
+Part B, UDF surface row).  There is no per-row Python at the Spark API level
+(north_rule) — Python receives whole columnar batches over Arrow.
+
+Instrumentation: every row carries its task partition id and payload byte
+count; the first row of each batch carries the batch's extraction wall time.
+Summing ``_wall_ms`` per partition therefore yields the partition's total
+extraction time — lineage is derived downstream with one cheap columnar
+aggregation instead of a second execution of the extractor.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pyarrow as pa
+
+from ..engine.extract import extract_document
+from ..schemas import OUTPUT_ARROW_INSTRUMENTED
+
+INSTRUMENTED_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "images array<struct<id:string,page:int,x:double,y:double,width:double,height:double,"
+    "coord_origin:string,x_norm:double,y_norm:double,width_norm:double,height_norm:double,"
+    "content_hash:string>>, "
+    "tables array<struct<id:string,page:int,x:double,y:double,width:double,height:double,"
+    "num_rows:int,num_cols:int,caption:string>>, "
+    "pages array<struct<page:int,width:double,height:double>>, "
+    "markdown string, status string, detail string, "
+    "_pid int, _bytes bigint, _wall_ms bigint"
+)
+
+INSTRUMENTATION_COLS = ["_pid", "_bytes", "_wall_ms"]
+
+
+def _failed_row(doc_id: str, exc: Exception) -> dict:
+    # Mirrors the reference's catch-all per-task failure path
+    # (app/main.py:338-345): record detail, never kill the job.
+    return {
+        "doc_id": doc_id,
+        "spans": None,
+        "images": None,
+        "tables": None,
+        "pages": None,
+        "markdown": None,
+        "status": "failed",
+        "detail": f"{type(exc).__name__}: {exc}",
+    }
+
+
+def _span_bytes(spans) -> int:
+    if not spans:
+        return 0
+    total = 0
+    for s in spans:
+        t = s.get("text")
+        m = s.get("media_ref")
+        total += (len(t) if t else 0) + (len(m) if m else 0) + 8
+    return total
+
+
+def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel.  Pure w.r.t. row content; safe under task retry."""
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+    except Exception:  # pragma: no cover - outside Spark
+        pid = -1
+
+    schema = pa.schema(list(OUTPUT_ARROW_INSTRUMENTED))
+    for batch in batches:
+        t0 = time.perf_counter()
+        out_rows: list[dict] = []
+        for row in batch.to_pylist():
+            doc_id = row["doc_id"]
+            spans = row["spans"]
+            try:
+                res = extract_document(doc_id, spans)
+            except Exception as exc:  # noqa: BLE001 — per-doc failure isolation
+                res = _failed_row(doc_id, exc)
+            res["_pid"] = pid
+            res["_bytes"] = _span_bytes(spans)
+            res["_wall_ms"] = 0
+            out_rows.append(res)
+        if out_rows:
+            out_rows[0]["_wall_ms"] = int((time.perf_counter() - t0) * 1000)
+            yield pa.RecordBatch.from_pylist(out_rows, schema=schema)

@@ -1,0 +1,183 @@
+"""Snapshot-manifest store: incremental batch runs with idempotent resume.
+
+Iceberg-shaped emulation (no Iceberg jars offline — SURVEY.md §4 item 2):
+
+    root/
+      data/run={run_id}/bucket={b}/part-*.parquet   (instrumented output rows)
+      lineage/run={run_id}/part-*.parquet
+      _manifests/manifest-{snapshot_id}.json        (immutable)
+      _manifests/CURRENT                            (atomic pointer, os.replace)
+
+Semantics that must stay honest:
+
+- **Atomic commit**: a run's files become visible only when CURRENT is
+  swapped to a manifest that references them; a crashed run leaves orphan
+  files that no manifest references (vacuumable), never partial state.
+- **Monotonic snapshot ids**: child = parent + 1.
+- **Idempotent resume**: work is bucketed by ``pmod(xxhash64(doc_id), n_buckets)``;
+  a re-run processes exactly the buckets absent from the current manifest
+  (the anti-join of input against committed lineage, expressed as bucket-set
+  subtraction so resume costs O(manifest), not a data-scale join).
+
+The reference analog is the resumable migration session log
+(``scripts/r2_migrate_xxhash.py:185-227``: JSON session file, processed-key
+set, batch-wise persistence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .batch import INSTRUMENTED_DDL
+from .pipeline import derive_lineage, run_extraction, strip_instrumentation
+
+LINEAGE_DDL = ("run_id string, snapshot_id bigint, partition_id int, doc_count bigint, "
+               "bytes bigint, parse_failures bigint, wall_ms bigint")
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent run committed one of our buckets first (optimistic
+    concurrency, the file-store analog of Iceberg's commit validation).
+    The loser's files stay orphaned and vacuumable; committed state is
+    untouched."""
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest plumbing ---------------------------------------------------
+
+    def current_manifest(self) -> Optional[dict]:
+        current = os.path.join(self.manifest_dir, "CURRENT")
+        if not os.path.exists(current):
+            return None
+        with open(current) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return json.load(f)
+
+    def committed_buckets(self) -> dict[str, str]:
+        """bucket (as str) → run_id that produced it."""
+        m = self.current_manifest()
+        return dict(m["buckets"]) if m else {}
+
+    def commit(self, new_buckets: list[int], run_id: str) -> int:
+        # Re-read CURRENT at commit time: a concurrent run may have advanced
+        # it since this run planned its bucket set.
+        parent = self.current_manifest()
+        already = {int(b) for b in parent["buckets"]} if parent else set()
+        conflicts = sorted(set(new_buckets) & already)
+        if conflicts:
+            raise SnapshotConflictError(
+                f"buckets {conflicts} were committed concurrently; aborting commit of run {run_id}"
+            )
+        snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
+        buckets = dict(parent["buckets"]) if parent else {}
+        for b in new_buckets:
+            buckets[str(b)] = run_id
+        lineage_runs = (list(parent["lineage_runs"]) if parent else []) + [run_id]
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "run_id": run_id,
+            "parent_snapshot_id": parent["snapshot_id"] if parent else None,
+            "committed_at_unix_ms": int(time.time() * 1000),
+            "buckets": buckets,
+            "lineage_runs": lineage_runs,
+        }
+        name = f"manifest-{snapshot_id}.json"
+        path = os.path.join(self.manifest_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, path)  # immutable manifest lands first ...
+        tmp_cur = os.path.join(self.manifest_dir, "CURRENT.tmp")
+        with open(tmp_cur, "w") as f:
+            f.write(name)
+        os.replace(tmp_cur, os.path.join(self.manifest_dir, "CURRENT"))  # ... then the atomic pointer swap
+        return snapshot_id
+
+    # -- readers ---------------------------------------------------------------
+
+    def _bucket_paths(self) -> list[str]:
+        return [
+            os.path.join(self.root, "data", f"run={run_id}", f"bucket={b}")
+            for b, run_id in sorted(self.committed_buckets().items(), key=lambda kv: int(kv[0]))
+        ]
+
+    def read_output(self, spark: SparkSession, *, instrumented: bool = False) -> DataFrame:
+        paths = self._bucket_paths()
+        if not paths:
+            df = spark.createDataFrame([], INSTRUMENTED_DDL)
+        else:
+            df = spark.read.schema(INSTRUMENTED_DDL).parquet(*paths)
+        return df if instrumented else strip_instrumentation(df)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        m = self.current_manifest()
+        runs = m["lineage_runs"] if m else []
+        paths = [os.path.join(self.root, "lineage", f"run={r}") for r in runs]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return spark.createDataFrame([], LINEAGE_DDL)
+        return spark.read.schema(LINEAGE_DDL).parquet(*paths)
+
+
+def run_incremental(
+    spark: SparkSession,
+    input_df: DataFrame,
+    root: str,
+    *,
+    n_buckets: int = 64,
+    max_buckets_per_run: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+    run_id: Optional[str] = None,
+) -> dict:
+    """One incremental run: process uncommitted buckets, commit a snapshot.
+
+    Returns a summary dict.  Re-running after success is a no-op; re-running
+    after a crash resumes from the last committed snapshot (exactly-once doc
+    coverage — tested in tests/test_checkpoint.py).
+    """
+    store = SnapshotStore(root)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    committed = {int(b) for b in store.committed_buckets()}
+    todo = sorted(set(range(n_buckets)) - committed)
+    if max_buckets_per_run is not None:
+        todo = todo[:max_buckets_per_run]
+    if not todo:
+        return {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
+
+    bucketed = input_df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    # Bucket-set membership is the scalable resume predicate (O(manifest) and
+    # pushed into the scan); when todo == everything it folds to a full scan.
+    if len(todo) < n_buckets:
+        bucketed = bucketed.filter(F.col("bucket").isin([int(b) for b in todo]))
+
+    out = run_extraction(bucketed.drop("bucket"), num_partitions=num_partitions)
+    out = out.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+
+    data_dir = os.path.join(root, "data", f"run={run_id}")
+    out.write.partitionBy("bucket").parquet(data_dir, mode="overwrite")
+
+    # Lineage from the written files: prunes to the instrumentation columns.
+    parent = store.current_manifest()
+    snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
+    written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
+    lineage = derive_lineage(written, run_id, snapshot_id)
+    lineage.write.parquet(os.path.join(root, "lineage", f"run={run_id}"), mode="overwrite")
+
+    docs = written.count()
+    actual_snapshot = store.commit(todo, run_id)
+    assert actual_snapshot == snapshot_id
+    return {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": todo, "docs": docs}

@@ -1,0 +1,75 @@
+"""Extraction pipeline: salted repartition → mapInArrow → output + lineage.
+
+Physical-plan choices (SURVEY.md §4):
+
+- **One shuffle, at the right place.** The only shuffle in the whole job is
+  the salted repartition *before* the Python stage, sizing partitions for the
+  extractor.  Everything after is narrow.
+- **Skew defusal.** Documents are atomic (one doc cannot split across tasks),
+  so skew control = uniform doc spread + many more partitions than cores so
+  stragglers amortize.  Partition key is ``xxhash64(doc_id, salt)`` — uniform
+  and independent of any data clustering in the input (adjacent doc_ids land
+  in different tasks).  AQE cannot rebalance a Python-UDF stage, hence the
+  explicit repartition.
+- **Bounded batch memory.** ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  caps docs per Arrow batch so a tail of oversized documents (huge ``spans``
+  arrays) cannot blow Python-worker memory (set in ``session.get_spark``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from .batch import INSTRUMENTATION_COLS, INSTRUMENTED_DDL, extract_batches
+
+SALT = 0x5EED  # fixed salt: decorrelates the partition key from other uses of xxhash64(doc_id)
+
+
+def default_partitions(spark) -> int:
+    """4× parallelism: enough granularity for straggler amortization."""
+    return max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+               spark.sparkContext.defaultParallelism * 4)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+    key = F.xxhash64(F.col("doc_id"), F.lit(SALT))
+    return df.repartition(num_partitions, F.pmod(key, F.lit(num_partitions)))
+
+
+def run_extraction(input_df: DataFrame, *, num_partitions: Optional[int] = None,
+                   repartition: bool = True) -> DataFrame:
+    """Raw corpus → instrumented extraction output (lazy; no action taken)."""
+    df = input_df
+    if repartition:
+        p = num_partitions or default_partitions(input_df.sparkSession)
+        df = salted_repartition(df, p)
+    return df.mapInArrow(extract_batches, INSTRUMENTED_DDL)
+
+
+def strip_instrumentation(out_df: DataFrame) -> DataFrame:
+    return out_df.drop(*INSTRUMENTATION_COLS)
+
+
+def derive_lineage(out_df: DataFrame, run_id: str, snapshot_id: int) -> DataFrame:
+    """Per-partition lineage rows (north_rule) from instrumented output.
+
+    Columnar aggregation over three narrow columns — when the instrumented
+    output has been written to Parquet, this scan prunes to just those
+    columns, so lineage costs a metadata-sized read, not a re-extraction.
+    """
+    return (
+        out_df.groupBy(F.col("_pid").alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("_bytes").alias("bytes"),
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("parse_failures"),
+            F.sum("_wall_ms").alias("wall_ms"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).cast("bigint").alias("snapshot_id"),
+            "partition_id", "doc_count", "bytes", "parse_failures", "wall_ms",
+        )
+    )

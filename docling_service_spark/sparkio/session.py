@@ -1,0 +1,46 @@
+"""SparkSession builder with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: Optional[str] = None,
+    *,
+    app_name: str = "docling-service-spark",
+    shuffle_partitions: Optional[int] = None,
+    arrow_batch_rows: int = 64,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Build a session.
+
+    - AQE on: runtime shuffle coalescing + skew-join splitting for the
+      relational operators (it cannot fix Python-stage skew — the pipeline's
+      explicit salted repartition does that).
+    - Small Arrow batches (default 64 docs): one document row can carry a
+      multi-megabyte span array; the batch-size cap bounds Python-worker
+      memory (the engine analog of the reference's 25 MiB upload cap +
+      8 G container limit, app/config.py:14, docker-compose.yml:23-32).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: extraction over an interleaved-span corpus.
+
+Usage (north_rule packaging: ``spark-submit --py-files engine.zip job.py``;
+in-sandbox the package dir is importable from the repo root):
+
+    spark-submit [--master local[N]] job.py \
+        --output /path/to/table --n-docs 10000 [--input /path/corpus.parquet] \
+        [--n-buckets 64] [--max-buckets-per-run K] [--partitions P] [--run-id ID]
+
+Input: either an existing parquet corpus (``--input``) with the canonical
+(doc_id, spans) schema, or a deterministic synthetic corpus generated
+*inside executors* (``--n-docs``).  Output: snapshot-committed parquet table
++ lineage at ``--output`` (see sparkio/checkpoint.py for the layout).
+Re-running with the same output dir resumes from the last committed snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--input", default=None, help="parquet corpus path (doc_id, spans)")
+    ap.add_argument("--n-docs", type=int, default=None, help="synthesize N docs instead of --input")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--max-buckets-per-run", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if (args.input is None) == (args.n_docs is None):
+        ap.error("exactly one of --input / --n-docs is required")
+
+    from docling_service_spark.corpus import corpus_df
+    from docling_service_spark.sparkio.checkpoint import SnapshotStore, run_incremental
+    from docling_service_spark.sparkio.session import get_spark
+
+    spark = get_spark(args.master, app_name="dss-extract-job")
+    t0 = time.perf_counter()
+    if args.input:
+        inp = spark.read.parquet(args.input)
+    else:
+        inp = corpus_df(spark, args.n_docs, seed=args.seed)
+
+    summary = run_incremental(
+        spark, inp, args.output,
+        n_buckets=args.n_buckets,
+        max_buckets_per_run=args.max_buckets_per_run,
+        num_partitions=args.partitions,
+        run_id=args.run_id,
+    )
+    wall = time.perf_counter() - t0
+
+    store = SnapshotStore(args.output)
+    lineage = store.read_lineage(spark)
+    stats = lineage.groupBy().sum("doc_count", "parse_failures", "wall_ms").collect()[0]
+    report = {
+        "run_id": summary["run_id"],
+        "snapshot_id": summary["snapshot_id"],
+        "buckets_processed": len(summary["buckets"]),
+        "docs_this_run": summary["docs"],
+        "docs_committed_total": int(stats[0] or 0),
+        "parse_failures_total": int(stats[1] or 0),
+        "extract_wall_ms_total": int(stats[2] or 0),
+        "run_wall_sec": round(wall, 2),
+        "docs_per_sec": round(summary["docs"] / wall, 2) if wall > 0 else None,
+    }
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

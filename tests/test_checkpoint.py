@@ -1,0 +1,98 @@
+"""Snapshot store: atomic commit, monotonic ids, idempotent resume."""
+
+from __future__ import annotations
+
+import os
+
+from docling_service_spark.corpus import corpus_df
+from docling_service_spark.sparkio.checkpoint import SnapshotStore, run_incremental
+
+N_DOCS = 90
+N_BUCKETS = 8
+
+
+def test_incremental_resume_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "table")
+    inp = corpus_df(spark, N_DOCS, partitions=4)
+
+    # Run 1: only half the buckets — simulates a run killed mid-way with a
+    # partial (but committed) snapshot.
+    r1 = run_incremental(spark, inp, root, n_buckets=N_BUCKETS, max_buckets_per_run=4,
+                         num_partitions=4, run_id="run1")
+    assert r1["snapshot_id"] == 1 and len(r1["buckets"]) == 4
+
+    store = SnapshotStore(root)
+    part1 = store.read_output(spark)
+    assert 0 < part1.count() < N_DOCS
+
+    # Run 2: resumes — processes exactly the remaining buckets.
+    r2 = run_incremental(spark, inp, root, n_buckets=N_BUCKETS, num_partitions=4, run_id="run2")
+    assert r2["snapshot_id"] == 2
+    assert sorted(r1["buckets"] + r2["buckets"]) == list(range(N_BUCKETS))
+
+    out = store.read_output(spark)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert len(ids) == N_DOCS and len(set(ids)) == N_DOCS  # exactly-once coverage
+
+    # Run 3: full re-run is a no-op.
+    r3 = run_incremental(spark, inp, root, n_buckets=N_BUCKETS, run_id="run3")
+    assert r3["snapshot_id"] is None and r3["docs"] == 0
+    assert store.read_output(spark).count() == N_DOCS
+
+
+def test_lineage_rows_per_snapshot(spark, tmp_path):
+    root = str(tmp_path / "table")
+    inp = corpus_df(spark, N_DOCS, partitions=4)
+    run_incremental(spark, inp, root, n_buckets=4, max_buckets_per_run=2, num_partitions=4, run_id="a")
+    run_incremental(spark, inp, root, n_buckets=4, num_partitions=4, run_id="b")
+    store = SnapshotStore(root)
+    lineage = store.read_lineage(spark)
+    by_run = {r["run_id"]: r["docs"] for r in
+              lineage.groupBy("run_id").sum("doc_count").withColumnRenamed("sum(doc_count)", "docs").collect()}
+    assert set(by_run) == {"a", "b"}
+    assert sum(by_run.values()) == N_DOCS
+    snap_ids = {r["run_id"]: r["snapshot_id"] for r in lineage.select("run_id", "snapshot_id").distinct().collect()}
+    assert snap_ids == {"a": 1, "b": 2}
+
+
+def test_orphan_files_invisible_until_commit(spark, tmp_path):
+    """Crash simulation: data files written without a manifest commit are
+    ignored by readers (atomicity via CURRENT pointer swap)."""
+    root = str(tmp_path / "table")
+    inp = corpus_df(spark, 30, partitions=2)
+    run_incremental(spark, inp, root, n_buckets=2, num_partitions=2, run_id="good")
+    store = SnapshotStore(root)
+    n = store.read_output(spark).count()
+
+    # Fake a crashed run: orphan parquet under data/run=crashed/ with no commit.
+    from docling_service_spark.sparkio.pipeline import run_extraction
+    out = run_extraction(corpus_df(spark, 10, partitions=1), num_partitions=2)
+    from pyspark.sql import functions as F
+    out = out.withColumn("bucket", F.lit(0))
+    out.write.partitionBy("bucket").parquet(os.path.join(root, "data", "run=crashed"))
+
+    assert store.read_output(spark).count() == n  # orphans invisible
+    m = store.current_manifest()
+    assert m["snapshot_id"] == 1 and set(m["buckets"].values()) == {"good"}
+
+
+def test_empty_store_reads_empty(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "nothing"))
+    assert store.read_output(spark).count() == 0
+    assert store.read_lineage(spark).count() == 0
+    assert store.current_manifest() is None
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing the same buckets: second commit must fail loudly."""
+    import pytest
+
+    from docling_service_spark.sparkio.checkpoint import SnapshotConflictError
+
+    root = str(tmp_path / "table")
+    store = SnapshotStore(root)
+    store.commit([0, 1], "winner")
+    with pytest.raises(SnapshotConflictError):
+        store.commit([1, 2], "loser")
+    # Non-overlapping concurrent commit is fine (disjoint buckets merge).
+    assert store.commit([2, 3], "other") == 2

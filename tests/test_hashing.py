@@ -1,0 +1,41 @@
+"""XXH64 correctness: published vectors + parity with Spark's builtin."""
+
+from docling_service_spark.hashing import media_key, xxh64, xxh64_hexdigest
+
+
+def test_published_vectors():
+    # Vectors from the public xxHash spec / python-xxhash docs.
+    assert xxh64_hexdigest(b"") == "ef46db3751d8e999"
+    assert xxh64_hexdigest(b"Nobody inspects the spammish repetition") == "fbcea83c8a378bf1"
+    assert xxh64(b"xxhash", 20141025) == 0xB559B98D844E0635
+
+
+def test_all_length_branches():
+    # Exercise <32, 8-byte, 4-byte and tail paths.
+    for n in [0, 1, 3, 4, 7, 8, 15, 31, 32, 33, 63, 64, 100]:
+        d = bytes(range(256))[: n % 256] * (n // 256 + 1)
+        d = d[:n]
+        h = xxh64_hexdigest(d)
+        assert len(h) == 16
+        assert h == xxh64_hexdigest(d)  # deterministic
+
+
+def test_media_key_shape():
+    # Key shape per reference app/main.py:718 / r2_migrate_xxhash.py:107-113.
+    k = media_key(b"some image bytes")
+    assert k.startswith("images/") and k.endswith(".png")
+    assert len(k) == len("images/") + 16 + len(".png")
+    int(k[7:23], 16)  # 16 hex chars
+
+
+def test_spark_builtin_parity(spark):
+    """Our XXH64(seed=42) must equal Spark's xxhash64 on binary input —
+    evidence the implementation is the standard algorithm."""
+    from pyspark.sql import functions as F
+
+    payloads = [b"", b"a", b"hello world", bytes(range(200))]
+    df = spark.createDataFrame([(bytearray(p),) for p in payloads], "b binary")
+    got = [r[0] for r in df.select(F.xxhash64("b")).collect()]
+    M = 1 << 64
+    expected = [v - M if v >= (1 << 63) else v for v in (xxh64(p, 42) for p in payloads)]
+    assert got == expected
