@@ -40,7 +40,7 @@ def _sentence(rng: random.Random) -> str:
 
 
 def _paragraph(rng: random.Random) -> str:
-    return " ".join(_sentence(rng) for _ in range(rng.randint(2, 5)))
+    return " ".join(_sentence(rng) for _ in range(rng.randint(3, 8)))
 
 
 # ---------------------------------------------------------------------------
@@ -57,17 +57,25 @@ def _html_doc_spans(rng: random.Random, n_fragments: int) -> list[dict]:
             + "</p></div>"
         )
         ad = '<div id="ad-banner"><p>Buy now! <a href="/buy">Click here</a> limited offer!!!</p></div>'
+        # Realistic page weight: ~15-40 content blocks, tens of KB of markup
+        # per fragment — per-doc classify cost must dominate the fixed row
+        # overheads, as it does for real web pages.
         title = _words(rng, rng.randint(3, 6)).title()
-        paras = "".join(f"<p>{_paragraph(rng)}</p>" for _ in range(rng.randint(2, 5)))
-        items = "".join(f"<li>{_sentence(rng)}</li>" for _ in range(rng.randint(3, 6)))
-        code = f"<pre>def f_{frag_i}(x):\n    return x + {frag_i}</pre>" if rng.random() < 0.4 else ""
+        body = [f"<h1>{title}</h1>"]
+        body += [f"<p>{_paragraph(rng)}</p>" for _ in range(rng.randint(3, 6))]
+        for _ in range(rng.randint(2, 4)):
+            body.append(f"<h2>{_words(rng, 3).title()}</h2>")
+            body += [f"<p>{_paragraph(rng)}</p>" for _ in range(rng.randint(4, 9))]
+            body.append("<ul>" + "".join(f"<li>{_sentence(rng)}</li>"
+                                         for _ in range(rng.randint(3, 7))) + "</ul>")
+        if rng.random() < 0.4:
+            body.append(f"<pre>def f_{frag_i}(x):\n    return x + {frag_i}</pre>")
         footer = (
             "<footer><p>Copyright 2026 · <a href='/terms'>Terms</a> · "
             "<a href='/privacy'>Privacy</a> · <a href='/imprint'>Imprint</a></p></footer>"
         )
         html = (
-            f"<html><body>{nav}{sidebar}<article><h1>{title}</h1>{paras}"
-            f"<h2>{_words(rng, 3).title()}</h2><ul>{items}</ul>{code}</article>{ad}{footer}</body></html>"
+            f"<html><body>{nav}{sidebar}<article>{''.join(body)}</article>{ad}{footer}</body></html>"
         )
         spans.append({"kind": "html", "text": html, "media_ref": "", "offset": 0})
     return spans
@@ -169,9 +177,9 @@ def build_doc(idx: int, seed: int = 42, *,
     if family == 0:
         spans = _html_doc_spans(rng, n_fragments=max(1, scale // 4) if oversized else 1)
     elif family == 1:
-        spans = _pdf_doc_blocks(rng, n_pages=rng.randint(1, 3) * scale, blocks_per_page=rng.randint(6, 12))
+        spans = _pdf_doc_blocks(rng, n_pages=rng.randint(2, 6) * scale, blocks_per_page=rng.randint(18, 30))
     else:
-        spans = _pdf_doc_blocks(rng, n_pages=max(1, scale), blocks_per_page=rng.randint(4, 8))
+        spans = _pdf_doc_blocks(rng, n_pages=max(2, scale), blocks_per_page=rng.randint(12, 24))
         spans += _html_doc_spans(rng, n_fragments=1)
 
     # Scramble input order (page_dims first to keep parsing simple), then

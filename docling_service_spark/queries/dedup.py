@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash — each with a DuckDB oracle.
+
+Cross-engine hash: ``H(s) = bigint(first 15 hex chars of md5(s))`` — 60 bits,
+identical in Spark (``conv(substr(md5(s),1,15),16,10)``) and DuckDB
+(``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``).
+
+Scale notes: all of these shuffle on uniform hash-derived keys (shingle, band
+key, content hash) — no skew by construction.  The quadratic verification
+steps only ever run on LSH/band candidates, never on the full cross product;
+the bounded ``doc_id`` subsets here keep the *oracle* cheap, not the Spark
+plan (which is the same shape at any scale).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from .common import load
+
+PAIR_LIMIT = 120      # doc subset for the quadratic-oracle queries
+MINHASH_K = 8         # minhash functions
+SIMHASH_BITS = 16
+
+
+def _tokens(col="text"):
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def _shingles(toks):
+    """Word 3-gram shingles (distinct)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(2))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)),
+    )
+    return F.array_distinct(F.when(n >= 3, sh).otherwise(F.array()))
+
+
+def _hash60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_SQL_SHINGLES = (
+    f"list_distinct(CASE WHEN len({_SQL_TOKS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_SQL_TOKS}) - 2), "
+    f"i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]) "
+    f"ELSE [] END)"
+)
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# --- q30: exact-dedup groups (coarse key to get real collisions) -----------------
+
+def q30_exact_dedup_groups(spark, sf_dir):
+    """Exact dedup on a normalized prefix key; groups with >1 member are the
+    duplicate clusters (dropDuplicates keeps min doc_id = first-writer-wins,
+    reference r2_migrate_xxhash.py:256-273)."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.substring(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, 24))
+    return (
+        docs.select(key.alias("dedup_key"), "doc_id")
+        .groupBy("dedup_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+             F.min("doc_id").cast("bigint").alias("keeper_id"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+ORACLE_Q30 = """
+SELECT md5(substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)) AS dedup_key,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# --- q31: n-gram Jaccard near-dup pairs --------------------------------------------
+
+JACCARD_MIN_E4 = 200  # 2%
+
+
+def q31_ngram_jaccard_pairs(spark, sf_dir):
+    """Shingle-explode → self-join on shingle → Jaccard from intersection and
+    per-doc set sizes.  The join key (shingle) is uniform; at scale add a
+    df-frequency cap on shingles (stop-shingle removal) before the join."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_LIMIT)
+    sh = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_shingles(_tokens())).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac_e4 = F.floor(F.col("inter") * 10000 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", F.col("inter").cast("bigint").alias("n_shared"),
+                jac_e4.cast("bigint").alias("jaccard_e4"))
+        .filter(F.col("jaccard_e4") >= JACCARD_MIN_E4)
+    )
+
+
+ORACLE_Q31 = f"""
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_SQL_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id < {PAIR_LIMIT}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS n_shared,
+       CAST(FLOOR(inter * 10000 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_e4
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE FLOOR(inter * 10000 / (sa.sz + sb.sz - inter)) >= {JACCARD_MIN_E4}
+"""
+
+
+# --- q32: MinHash signatures ----------------------------------------------------------
+
+def q32_minhash_signatures(spark, sf_dir):
+    """K minhash values per doc: one explode + one groupBy with K min()
+    aggregates (single shuffle, map-side partials)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_LIMIT)
+    sh = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_shingles(_tokens())).alias("shingle"),
+    )
+    aggs = [
+        F.min(_hash60(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_mh_cols = ", ".join(
+    "MIN(" + _sql_hash60(f"shingle || '#{j}'") + f") AS mh{j}" for j in range(MINHASH_K)
+)
+ORACLE_Q32 = f"""
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_SQL_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id < {PAIR_LIMIT})
+SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id
+"""
+
+
+# --- q33: LSH band candidate pairs -----------------------------------------------------
+
+LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
+
+
+def q33_lsh_candidate_pairs(spark, sf_dir):
+    """Band → bucket-join: docs sharing any band key become candidates.  This
+    is the scale path for near-dedup — candidate generation touches only
+    band-bucket collisions, never the full pair space."""
+    sigs = q32_minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.concat_ws(":", f"mh{a}", f"mh{b}").alias("key"))
+            for i, (a, b) in enumerate(LSH_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+_band_selects = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band, CONCAT(CAST(mh{a} AS VARCHAR), ':', CAST(mh{b} AS VARCHAR)) AS key FROM sigs"
+    for i, (a, b) in enumerate(LSH_BANDS)
+)
+ORACLE_Q33 = f"""
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_SQL_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id < {PAIR_LIMIT}),
+sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+# --- q34: SimHash -------------------------------------------------------------------------
+
+def q34_simhash(spark, sf_dir):
+    """16-bit SimHash over distinct tokens: explode → per-bit signed vote →
+    reassemble.  One shuffle (groupBy doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.array_distinct(_tokens())).alias("tok"),
+    ).withColumn("h", _hash60(F.col("tok")))
+    votes = [
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sig = reduce(
+        lambda acc, j: acc + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0),
+    )
+    return agg.select("doc_id", sig.cast("bigint").alias("simhash16"))
+
+
+_vote_cols = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(SIMHASH_BITS)
+)
+_sig_expr = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))
+ORACLE_Q34 = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_distinct({_SQL_TOKS})) AS tok
+  FROM documents),
+hashed AS (SELECT doc_id, {_sql_hash60('tok')} AS h FROM tok),
+votes AS (SELECT doc_id, {_vote_cols} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({_sig_expr} AS BIGINT) AS simhash16 FROM votes
+"""
+
+
+QUERIES = {
+    "q30_exact_dedup_groups": q30_exact_dedup_groups,
+    "q31_ngram_jaccard_pairs": q31_ngram_jaccard_pairs,
+    "q32_minhash_signatures": q32_minhash_signatures,
+    "q33_lsh_candidate_pairs": q33_lsh_candidate_pairs,
+    "q34_simhash": q34_simhash,
+}
+
+ORACLES = {
+    "q30_exact_dedup_groups": ORACLE_Q30,
+    "q31_ngram_jaccard_pairs": ORACLE_Q31,
+    "q32_minhash_signatures": ORACLE_Q32,
+    "q33_lsh_candidate_pairs": ORACLE_Q33,
+    "q34_simhash": ORACLE_Q34,
+}

@@ -1,0 +1,182 @@
+"""Similarity search over the embedding column (``embeddings.embedding``,
+array<float>[64]).
+
+- q40: brute-force cosine top-k — the correctness baseline.  Probe set is
+  broadcast; candidates stream through one scan (the scale path for a small
+  probe set against a huge corpus).
+- q41: random-hyperplane LSH bucketing — the scale path for all-pairs work:
+  bucket-join replaces the cross product.  Hyperplane weights are derived
+  from (dim, plane) indices with integer arithmetic so both engines compute
+  identical planes without a shared RNG.
+
+Scores are floor-scaled ints; element products are computed in double after
+an explicit cast from float32 in BOTH engines, and the fold is sequential in
+both, so values match exactly in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import load
+
+N_PROBES = 5
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q40_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sim = _dot(F.col("pe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    scored = (
+        cands.join(F.broadcast(probes))  # scan candidates once; probes broadcast
+        .withColumn("sim_e6", F.floor(sim * 1000000).cast("bigint"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim_e6")
+    )
+
+
+_SQL_DOT = (
+    "list_aggregate(list_transform(generate_series(1, {n}), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+)
+
+
+def _sql_dot(a, b, n=DIM):
+    return _SQL_DOT.format(a=a, b=b, n=n)
+
+
+ORACLE_Q40 = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}),
+cands AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT probe_id, neighbor_id,
+         CAST(FLOOR({_sql_dot('pe', 'ce')} /
+              (sqrt({_sql_dot('pe', 'pe')}) * sqrt({_sql_dot('ce', 'ce')})) * 1000000) AS BIGINT) AS sim_e6
+  FROM cands CROSS JOIN probes),
+ranked AS (
+  SELECT probe_id, neighbor_id, sim_e6,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim_e6 DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_e6
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q41_lsh_buckets(spark, sf_dir):
+    """Sign-random-projection bucket per vector + bucket occupancy."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def proj(j):
+        # weight(i, j) = ((i*37 + j*101) mod 13) - 6, i 0-based — deterministic
+        # integer "pseudo-random" hyperplanes, identical in SQL.
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: F.element_at(F.col("embedding"), i).cast("double")
+                * (((i - 1) * 37 + j * 101) % 13 - 6).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for j in range(N_PLANES):
+        bit = F.when(proj(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        bucket.cast("bigint").alias("bucket"),
+        "label",
+    )
+
+
+_sql_proj = (
+    "list_aggregate(list_transform(generate_series(1, {n}), "
+    "i -> embedding[i]::DOUBLE * ((((i-1)*37 + {j}*101) % 13) - 6)::DOUBLE), 'sum')"
+)
+_sql_bucket = " + ".join(
+    f"CASE WHEN {_sql_proj.format(n=DIM, j=j)} > 0 THEN {1 << j} ELSE 0 END"
+    for j in range(N_PLANES)
+)
+ORACLE_Q41 = f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST({_sql_bucket} AS BIGINT) AS bucket,
+       label
+FROM embeddings
+"""
+
+
+def q42_lsh_bucketed_neighbors(spark, sf_dir):
+    """IVF/LSH-style ANN: candidates restricted to same-bucket pairs —
+    the join-based scale path (bucket key is the shuffle key)."""
+    b = q41_lsh_buckets(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    withb = b.join(emb, "vec_id").select("vec_id", "bucket", "embedding")
+    a = withb.alias("a")
+    c = withb.alias("c")
+    sim = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
+        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(_dot(F.col("c.embedding"), F.col("c.embedding")))
+    )
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            F.floor(sim * 1000000).cast("bigint").alias("sim_e6"),
+        )
+        .filter(F.col("sim_e6") >= 0)
+    )
+
+
+ORACLE_Q42 = f"""
+WITH b AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         CAST({_sql_bucket} AS BIGINT) AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       CAST(FLOOR({_sql_dot('a.embedding', 'c.embedding')} /
+            (sqrt({_sql_dot('a.embedding', 'a.embedding')}) * sqrt({_sql_dot('c.embedding', 'c.embedding')}))
+            * 1000000) AS BIGINT) AS sim_e6
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE FLOOR({_sql_dot('a.embedding', 'c.embedding')} /
+      (sqrt({_sql_dot('a.embedding', 'a.embedding')}) * sqrt({_sql_dot('c.embedding', 'c.embedding')}))
+      * 1000000) >= 0
+"""
+
+
+QUERIES = {
+    "q40_cosine_topk": q40_cosine_topk,
+    "q41_lsh_buckets": q41_lsh_buckets,
+    "q42_lsh_bucketed_neighbors": q42_lsh_bucketed_neighbors,
+}
+
+ORACLES = {
+    "q40_cosine_topk": ORACLE_Q40,
+    "q41_lsh_buckets": ORACLE_Q41,
+    "q42_lsh_bucketed_neighbors": ORACLE_Q42,
+}

@@ -91,5 +91,9 @@ def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             res["_wall_ms"] = 0
             out_rows.append(res)
         if out_rows:
-            out_rows[0]["_wall_ms"] = int((time.perf_counter() - t0) * 1000)
-            yield pa.RecordBatch.from_pylist(out_rows, schema=schema)
+            out = pa.RecordBatch.from_pylist(out_rows, schema=schema)
+            # Batch wall includes the Arrow decode/encode, not just the
+            # extractor — lineage wall_ms is the true Python-stage cost.
+            wall = pa.array([int((time.perf_counter() - t0) * 1000)] + [0] * (len(out_rows) - 1),
+                            type=pa.int64())
+            yield out.set_column(out.schema.get_field_index("_wall_ms"), "_wall_ms", wall)

@@ -3,10 +3,17 @@
 Iceberg-shaped emulation (no Iceberg jars offline — SURVEY.md §4 item 2):
 
     root/
-      data/run={run_id}/bucket={b}/part-*.parquet   (instrumented output rows)
+      data/run={run_id}/part-*.parquet              (instrumented output rows)
       lineage/run={run_id}/part-*.parquet
       _manifests/manifest-{snapshot_id}.json        (immutable)
       _manifests/CURRENT                            (atomic pointer, os.replace)
+
+    The bucket→run mapping lives in the manifest only — buckets are a
+    *logical* partition of the doc-id space (resume granularity), not a
+    physical directory layout: a run commits all its buckets atomically, so
+    one plain parquet dir per run is exactly-once by construction.  (A
+    physical ``partitionBy("bucket")`` fanout write was measured to cost more
+    than the whole extraction at 120k docs — tasks × buckets tiny files.)
 
 Semantics that must stay honest:
 
@@ -107,14 +114,12 @@ class SnapshotStore:
 
     # -- readers ---------------------------------------------------------------
 
-    def _bucket_paths(self) -> list[str]:
-        return [
-            os.path.join(self.root, "data", f"run={run_id}", f"bucket={b}")
-            for b, run_id in sorted(self.committed_buckets().items(), key=lambda kv: int(kv[0]))
-        ]
+    def _run_paths(self) -> list[str]:
+        runs = sorted({run_id for run_id in self.committed_buckets().values()})
+        return [os.path.join(self.root, "data", f"run={r}") for r in runs]
 
     def read_output(self, spark: SparkSession, *, instrumented: bool = False) -> DataFrame:
-        paths = self._bucket_paths()
+        paths = self._run_paths()
         if not paths:
             df = spark.createDataFrame([], INSTRUMENTED_DDL)
         else:
@@ -165,12 +170,12 @@ def run_incremental(
         bucketed = bucketed.filter(F.col("bucket").isin([int(b) for b in todo]))
 
     out = run_extraction(bucketed.drop("bucket"), num_partitions=num_partitions)
-    out = out.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
 
     data_dir = os.path.join(root, "data", f"run={run_id}")
-    out.write.partitionBy("bucket").parquet(data_dir, mode="overwrite")
+    out.write.parquet(data_dir, mode="overwrite")
 
-    # Lineage from the written files: prunes to the instrumentation columns.
+    # Lineage from the written files: prunes to the instrumentation columns,
+    # so this scan costs footer-reads + three narrow columns, not a re-run.
     parent = store.current_manifest()
     snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
     written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)

@@ -2,15 +2,23 @@
 
 Physical-plan choices (SURVEY.md §4):
 
-- **One shuffle, at the right place.** The only shuffle in the whole job is
-  the salted repartition *before* the Python stage, sizing partitions for the
-  extractor.  Everything after is narrow.
-- **Skew defusal.** Documents are atomic (one doc cannot split across tasks),
-  so skew control = uniform doc spread + many more partitions than cores so
-  stragglers amortize.  Partition key is ``xxhash64(doc_id, salt)`` — uniform
-  and independent of any data clustering in the input (adjacent doc_ids land
-  in different tasks).  AQE cannot rebalance a Python-UDF stage, hence the
-  explicit repartition.
+- **Zero shuffles on the happy path.**  A shuffle boundary feeding a Python
+  stage forces a JVM row-codec round trip of the heavyweight nested ``spans``
+  column (measured ~2x the whole extraction cost at 120k docs); a columnar
+  parquet scan (or executor-side generation) feeds ``mapInArrow`` through the
+  vectorized Arrow path instead.  Balance comes from *size-based input
+  splitting* (``spark.sql.files.maxPartitionBytes`` for scans, even range
+  splits for generation) — that IS the partitioner at 100 TB.
+- **Skew defusal, when actually needed.**  Documents are atomic (one doc
+  cannot split across tasks).  Size-based file splitting already spreads
+  bytes uniformly; the explicit salted repartition
+  (``xxhash64(doc_id, salt) % P``) is kept for inputs whose *layout* is
+  pathological — e.g. clustered by a hot key with row-group boundaries that
+  prevent splitting.  It is opt-in (``repartition=True``) because it pays the
+  row-codec toll.  AQE cannot rebalance a Python-UDF stage either way.
+- **Straggler amortization without a shuffle**: generate/scan with several
+  partitions per core; the oversized-doc tail then costs one late batch, not
+  a late stage.
 - **Bounded batch memory.** ``spark.sql.execution.arrow.maxRecordsPerBatch``
   caps docs per Arrow batch so a tail of oversized documents (huge ``spans``
   arrays) cannot blow Python-worker memory (set in ``session.get_spark``).
@@ -39,10 +47,16 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
 
 
 def run_extraction(input_df: DataFrame, *, num_partitions: Optional[int] = None,
-                   repartition: bool = True) -> DataFrame:
-    """Raw corpus → instrumented extraction output (lazy; no action taken)."""
+                   repartition: Optional[bool] = None) -> DataFrame:
+    """Raw corpus → instrumented extraction output (lazy; no action taken).
+
+    No shuffle by default: trust the scan/generator partitioning — the
+    vectorized Arrow path feeds Python directly, no row-codec round trip.
+    Passing ``num_partitions`` (or ``repartition=True``) forces the salted
+    shuffle first — for skewed/clustered inputs.
+    """
     df = input_df
-    if repartition:
+    if repartition or (repartition is None and num_partitions is not None):
         p = num_partitions or default_partitions(input_df.sparkSession)
         df = salted_repartition(df, p)
     return df.mapInArrow(extract_batches, INSTRUMENTED_DDL)

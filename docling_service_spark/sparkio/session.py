@@ -13,7 +13,7 @@ def get_spark(
     *,
     app_name: str = "docling-service-spark",
     shuffle_partitions: Optional[int] = None,
-    arrow_batch_rows: int = 64,
+    arrow_batch_rows: int = 256,
     extra_conf: Optional[dict] = None,
 ) -> SparkSession:
     """Build a session.
@@ -21,7 +21,7 @@ def get_spark(
     - AQE on: runtime shuffle coalescing + skew-join splitting for the
       relational operators (it cannot fix Python-stage skew — the pipeline's
       explicit salted repartition does that).
-    - Small Arrow batches (default 64 docs): one document row can carry a
+    - Bounded Arrow batches (default 256 docs): one document row can carry a
       multi-megabyte span array; the batch-size cap bounds Python-worker
       memory (the engine analog of the reference's 25 MiB upload cap +
       8 G container limit, app/config.py:14, docker-compose.yml:23-32).

@@ -31,9 +31,14 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--max-buckets-per-run", type=int, default=None)
-    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="force a salted repartition to P before extraction (skewed inputs)")
+    ap.add_argument("--gen-partitions", type=int, default=None,
+                    help="parallelism of synthetic corpus generation (default 4x cores)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the steady-state warm-up (include worker spawn in the timing)")
     args = ap.parse_args(argv)
     if (args.input is None) == (args.n_docs is None):
         ap.error("exactly one of --input / --n-docs is required")
@@ -43,11 +48,18 @@ def main(argv=None) -> int:
     from docling_service_spark.sparkio.session import get_spark
 
     spark = get_spark(args.master, app_name="dss-extract-job")
+    if not args.no_warm:
+        # Spin up python workers + whole-stage codegen once so the reported
+        # throughput is steady-state (a cluster amortizes this over hours).
+        from docling_service_spark.sparkio.pipeline import run_extraction as _rx
+        _rx(corpus_df(spark, 64, partitions=spark.sparkContext.defaultParallelism)) \
+            .write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     if args.input:
         inp = spark.read.parquet(args.input)
     else:
-        inp = corpus_df(spark, args.n_docs, seed=args.seed)
+        gen_p = args.gen_partitions or spark.sparkContext.defaultParallelism * 4
+        inp = corpus_df(spark, args.n_docs, seed=args.seed, partitions=gen_p)
 
     summary = run_incremental(
         spark, inp, args.output,
