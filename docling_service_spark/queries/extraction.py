@@ -21,7 +21,7 @@ N_CORPUS_DOCS = 200
 def q60_extract_corpus(spark, sf_dir):
     """Per-doc extraction summary over the synthetic corpus.  sf_dir is unused
     (the corpus is generated in executors); kept for signature uniformity."""
-    out = strip_instrumentation(run_extraction(corpus_df(spark, N_CORPUS_DOCS), num_partitions=8))
+    out = strip_instrumentation(run_extraction(corpus_df(spark, N_CORPUS_DOCS, partitions=8)))
     return out.select(
         "doc_id",
         "status",
@@ -61,7 +61,7 @@ def q61_extract_html_docs(spark, sf_dir):
             )
         ).alias("spans"),
     )
-    out = strip_instrumentation(run_extraction(corpus, num_partitions=8))
+    out = strip_instrumentation(run_extraction(corpus))
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "status",
