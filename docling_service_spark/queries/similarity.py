@@ -130,17 +130,25 @@ FROM embeddings
 
 def q42_lsh_bucketed_neighbors(spark, sf_dir):
     """IVF/LSH-style ANN: candidates restricted to same-bucket pairs —
-    the join-based scale path (bucket key is the shuffle key)."""
+    the join-based scale path (bucket key is the shuffle key).
+
+    Vectors are L2-normalized ONCE before the self-join, so the per-pair
+    expression is a single 64-element dot product instead of three folds —
+    this is the pre-aggregation that makes bucketed ANN viable at scale
+    (pair count >> vector count)."""
     b = q41_lsh_buckets(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
-    withb = b.join(emb, "vec_id").select("vec_id", "bucket", "embedding")
+    inv_norm = F.lit(1.0) / F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    nemb = F.transform(F.col("embedding"), lambda x: x.cast("double") * inv_norm)
+    withb = b.join(emb, "vec_id").select("vec_id", "bucket", nemb.alias("nemb"))
     a = withb.alias("a")
     c = withb.alias("c")
-    sim = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
-        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
-        * F.sqrt(_dot(F.col("c.embedding"), F.col("c.embedding")))
+    sim = F.aggregate(
+        F.zip_with(F.col("a.nemb"), F.col("c.nemb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     return (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
@@ -153,19 +161,22 @@ def q42_lsh_bucketed_neighbors(spark, sf_dir):
     )
 
 
+_SQL_NEMB = (
+    f"list_transform(embedding, x -> x::DOUBLE * (1.0 / sqrt({_sql_dot('embedding', 'embedding')})))"
+)
+_SQL_PAIR_DOT = ("list_aggregate(list_transform(generate_series(1, 64), "
+                 "i -> a.nemb[i] * c.nemb[i]), 'sum')")
 ORACLE_Q42 = f"""
 WITH b AS (
-  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         {_SQL_NEMB} AS nemb,
          CAST({_sql_bucket} AS BIGINT) AS bucket
   FROM embeddings)
-SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       CAST(FLOOR({_sql_dot('a.embedding', 'c.embedding')} /
-            (sqrt({_sql_dot('a.embedding', 'a.embedding')}) * sqrt({_sql_dot('c.embedding', 'c.embedding')}))
-            * 1000000) AS BIGINT) AS sim_e6
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE FLOOR({_sql_dot('a.embedding', 'c.embedding')} /
-      (sqrt({_sql_dot('a.embedding', 'a.embedding')}) * sqrt({_sql_dot('c.embedding', 'c.embedding')}))
-      * 1000000) >= 0
+SELECT id_a, id_b, sim_e6 FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         CAST(FLOOR({_SQL_PAIR_DOT} * 1000000) AS BIGINT) AS sim_e6
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+WHERE sim_e6 >= 0
 """
 
 

@@ -136,6 +136,41 @@ class SnapshotStore:
         return spark.read.schema(LINEAGE_DDL).parquet(*paths)
 
 
+def vacuum(root: str, *, keep_manifests: int = 10) -> dict:
+    """Table maintenance (reference analog: storage-quota eviction + retention
+    cleanup, app/main.py:943-992 / app/storage_cleanup.py:12-53): delete
+    orphan run dirs (written by crashed or conflict-losing runs, referenced by
+    no manifest) and expire old manifests beyond the last ``keep_manifests``.
+
+    CURRENT and every run it references are never touched, so vacuum is safe
+    concurrently with readers of the current snapshot."""
+    import shutil
+
+    store = SnapshotStore(root)
+    m = store.current_manifest()
+    live_runs = set(m["buckets"].values()) | set(m.get("lineage_runs", [])) if m else set()
+
+    removed_runs: list[str] = []
+    for kind in ("data", "lineage"):
+        base = os.path.join(root, kind)
+        if not os.path.isdir(base):
+            continue
+        for entry in sorted(os.listdir(base)):
+            if entry.startswith("run=") and entry[4:] not in live_runs:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                removed_runs.append(f"{kind}/{entry}")
+
+    removed_manifests: list[str] = []
+    current_id = m["snapshot_id"] if m else 0
+    for entry in sorted(os.listdir(store.manifest_dir)):
+        if entry.startswith("manifest-") and entry.endswith(".json"):
+            sid = int(entry[len("manifest-"):-len(".json")])
+            if sid <= current_id - keep_manifests:
+                os.remove(os.path.join(store.manifest_dir, entry))
+                removed_manifests.append(entry)
+    return {"removed_run_dirs": removed_runs, "removed_manifests": removed_manifests}
+
+
 def run_incremental(
     spark: SparkSession,
     input_df: DataFrame,

@@ -96,3 +96,44 @@ def test_concurrent_commit_conflict(spark, tmp_path):
         store.commit([1, 2], "loser")
     # Non-overlapping concurrent commit is fine (disjoint buckets merge).
     assert store.commit([2, 3], "other") == 2
+
+
+def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
+    import os
+
+    from docling_service_spark.sparkio.checkpoint import vacuum
+
+    root = str(tmp_path / "table")
+    inp = corpus_df(spark, 40, partitions=2)
+    run_incremental(spark, inp, root, n_buckets=4, max_buckets_per_run=2, num_partitions=2, run_id="live1")
+    run_incremental(spark, inp, root, n_buckets=4, num_partitions=2, run_id="live2")
+
+    # Orphan: a crashed run's files, never committed.
+    os.makedirs(os.path.join(root, "data", "run=orphan"), exist_ok=True)
+    with open(os.path.join(root, "data", "run=orphan", "part-0.parquet"), "w") as f:
+        f.write("junk")
+
+    store = SnapshotStore(root)
+    before = store.read_output(spark).count()
+    report = vacuum(root, keep_manifests=10)
+    assert "data/run=orphan" in report["removed_run_dirs"]
+    assert not os.path.exists(os.path.join(root, "data", "run=orphan"))
+    # Live data untouched; snapshot still reads identically.
+    assert store.read_output(spark).count() == before == 40
+    assert store.read_lineage(spark).count() > 0
+
+
+def test_vacuum_expires_old_manifests(tmp_path):
+    import os
+
+    from docling_service_spark.sparkio.checkpoint import vacuum
+
+    root = str(tmp_path / "t")
+    store = SnapshotStore(root)
+    for i in range(15):
+        store.commit([i], f"r{i}")
+    report = vacuum(root, keep_manifests=5)
+    assert len(report["removed_manifests"]) == 10
+    assert store.current_manifest()["snapshot_id"] == 15  # pointer intact
+    remaining = sorted(os.listdir(store.manifest_dir))
+    assert "manifest-15.json" in remaining and "manifest-5.json" not in remaining
