@@ -311,3 +311,88 @@ ORACLES = {
     "q11_event_gaps": ORACLE_Q11,
     "q12_langs_without_large_docs": ORACLE_Q12,
 }
+
+
+# --- q13: rollup (multi-level metrics, Part B aggregation row) ------------------
+
+def q13_rollup_doc_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("sum_chars"),
+    )
+
+
+ORACLE_Q13 = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+# --- q15: ordered explode + lag (span-adjacency analog over token sequences) ----
+
+def q15_token_bigrams(spark, sf_dir):
+    """posexplode keeps element order; lag over (doc, position) builds the
+    bigram — the same window shape that validates span-offset monotonicity."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("prev", F.lag("tok").over(w)).filter(F.col("prev").isNotNull())
+    return (
+        bigrams.groupBy(F.concat_ws(" ", "prev", "tok").alias("bigram"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+ORACLE_Q15 = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), 1) AS pos
+  FROM documents WHERE doc_id < 50),
+bigrams AS (
+  SELECT CONCAT(LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos), ' ', tok) AS bigram,
+         LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bigrams WHERE prev IS NOT NULL
+GROUP BY bigram HAVING COUNT(*) >= 5
+"""
+
+
+# --- q16: time-series daily stats (date/time fns row) ----------------------------
+
+def q16_daily_event_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    return ev.groupBy(day).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_Q16 = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+QUERIES.update({
+    "q13_rollup_doc_stats": q13_rollup_doc_stats,
+    "q15_token_bigrams": q15_token_bigrams,
+    "q16_daily_event_stats": q16_daily_event_stats,
+})
+ORACLES.update({
+    "q13_rollup_doc_stats": ORACLE_Q13,
+    "q15_token_bigrams": ORACLE_Q15,
+    "q16_daily_event_stats": ORACLE_Q16,
+})

@@ -31,7 +31,9 @@ def _canon_rows(cols, rows):
         return v
 
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+    # repr-keyed sort: null-safe (ROLLUP rows carry None group keys) and
+    # applied identically to both engines' rows.
+    return sorted((tuple(norm(r[i]) for i in idx) for r in rows), key=repr)
 
 
 QUERY_NAMES = sorted(entry_mod.queries())
