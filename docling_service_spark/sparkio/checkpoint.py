@@ -136,6 +136,23 @@ class SnapshotStore:
         return spark.read.schema(LINEAGE_DDL).parquet(*paths)
 
 
+def register_views(spark: SparkSession, root: str, *, prefix: str = "dss") -> list[str]:
+    """Expose the committed snapshot to Spark SQL: ``{prefix}_extracted``,
+    ``{prefix}_lineage``, plus a flat ``{prefix}_spans`` view (posexplode of
+    the ordered span arrays) so the whole engine is queryable with
+    ``spark.sql`` — the DataFrame/SQL duality the reference's REST endpoints
+    never had."""
+    store = SnapshotStore(root)
+    store.read_output(spark).createOrReplaceTempView(f"{prefix}_extracted")
+    store.read_lineage(spark).createOrReplaceTempView(f"{prefix}_lineage")
+    spark.sql(
+        f"SELECT doc_id, s.kind, s.text, s.media_ref, s.offset "
+        f"FROM {prefix}_extracted LATERAL VIEW explode(spans) AS s "
+        f"WHERE status = 'completed'"
+    ).createOrReplaceTempView(f"{prefix}_spans")
+    return [f"{prefix}_extracted", f"{prefix}_lineage", f"{prefix}_spans"]
+
+
 def vacuum(root: str, *, keep_manifests: int = 10) -> dict:
     """Table maintenance (reference analog: storage-quota eviction + retention
     cleanup, app/main.py:943-992 / app/storage_cleanup.py:12-53): delete

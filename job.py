@@ -56,7 +56,12 @@ def main(argv=None) -> int:
             .write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     if args.input:
-        inp = spark.read.parquet(args.input)
+        try:
+            inp = spark.read.parquet(args.input)
+            inp.schema  # force resolution for a clean early error
+        except Exception as exc:
+            spark.stop()
+            raise SystemExit(f"--input {args.input} is not a readable parquet corpus: {exc}") from None
     else:
         gen_p = args.gen_partitions or spark.sparkContext.defaultParallelism * 4
         inp = corpus_df(spark, args.n_docs, seed=args.seed, partitions=gen_p)

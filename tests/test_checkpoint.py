@@ -137,3 +137,25 @@ def test_vacuum_expires_old_manifests(tmp_path):
     assert store.current_manifest()["snapshot_id"] == 15  # pointer intact
     remaining = sorted(os.listdir(store.manifest_dir))
     assert "manifest-15.json" in remaining and "manifest-5.json" not in remaining
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    from docling_service_spark.sparkio.checkpoint import register_views
+
+    root = str(tmp_path / "table")
+    run_incremental(spark, corpus_df(spark, 30, partitions=2), root, n_buckets=2, run_id="v")
+    views = register_views(spark, root)
+    assert views == ["dss_extracted", "dss_lineage", "dss_spans"]
+
+    n = spark.sql("SELECT count(*) AS n FROM dss_extracted").collect()[0]["n"]
+    assert n == 30
+    # Ordered spans flattened: offsets dense per doc.
+    bad = spark.sql("""
+        SELECT doc_id FROM (
+          SELECT doc_id, offset,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY offset) - 1 AS expect
+          FROM dss_spans) WHERE offset != expect
+    """).count()
+    assert bad == 0
+    lin = spark.sql("SELECT sum(doc_count) AS d FROM dss_lineage").collect()[0]["d"]
+    assert lin == 30
