@@ -24,6 +24,7 @@ from typing import Any, Optional
 
 from ..hashing import media_key, xxh64_hexdigest
 from . import geometry as G
+from .fastjson import dumps_indent2
 from .html_extract import extract_html_blocks
 
 RAW_KINDS = frozenset(["html", "text_block", "table_block", "image", "page_dims", "page_break"])
@@ -171,7 +172,9 @@ def _metadata_block(images: list[dict], tables: list[dict], pages_list: list[dic
         ],
         "metadata": doc_meta,
     }
-    json_str = json.dumps(metadata_obj, indent=2)
+    # Byte-identical to json.dumps(metadata_obj, indent=2) (reference
+    # app/main.py:535) via the C-escaper fast path — property-tested.
+    json_str = dumps_indent2(metadata_obj)
     return f"\n\n---\n\n<!-- DOCLING_METADATA_START -->\n```json\n{json_str}\n```\n<!-- DOCLING_METADATA_END -->\n"
 
 

@@ -50,11 +50,10 @@ LONG_TEXT_LEN = 80
 LONG_TEXT_MAX_LINK_DENSITY = 0.5
 MIN_LIST_ITEM_LEN = 20
 
-_WS_RE = re.compile(r"\s+")
-
-
 def _norm_text(s: str) -> str:
-    return _WS_RE.sub(" ", s).strip()
+    # Identical to re.sub(r"\s+", " ", s).strip(), but C-level: split() breaks
+    # on any whitespace run and drops leading/trailing.
+    return " ".join(s.split())
 
 
 class _Element:
