@@ -396,3 +396,59 @@ ORACLES.update({
     "q15_token_bigrams": ORACLE_Q15,
     "q16_daily_event_stats": ORACLE_Q16,
 })
+
+
+# --- q17: sessionization (gap-based; the batch form of stateful streaming) ------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def q17_sessionization(spark, sf_dir):
+    """Per-user sessions: a new session starts when the gap from the previous
+    event exceeds 30 min.  Two stacked windows (lag → running sum) — the
+    standard batch sessionizer; the streaming twin would be
+    applyInPandasWithState, unnecessary here (north_rule is batch)."""
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gapped = ev.select("user_id", "event_id", ts_us.alias("t")).withColumn(
+        "new_session",
+        (F.coalesce(F.col("t") - F.lag("t").over(w), F.lit(SESSION_GAP_US + 1)) > SESSION_GAP_US)
+        .cast("int"),
+    )
+    sessions = gapped.withColumn("session_no", F.sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        ((F.max("t") - F.min("t")) / 1_000_000).cast("bigint").alias("duration_sec"),
+    ).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.sum("duration_sec").cast("bigint").alias("total_session_sec"),
+    )
+
+
+ORACLE_Q17 = f"""
+WITH gapped AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, {SESSION_GAP_US + 1})
+              > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, event_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gapped),
+per_session AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events,
+         (MAX(t) - MIN(t)) // 1000000 AS duration_sec
+  FROM sessions GROUP BY user_id, session_no)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(duration_sec) AS BIGINT) AS total_session_sec
+FROM per_session GROUP BY user_id
+"""
+
+QUERIES["q17_sessionization"] = q17_sessionization
+ORACLES["q17_sessionization"] = ORACLE_Q17

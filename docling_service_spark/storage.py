@@ -70,3 +70,15 @@ class NullMediaStore:
 
 def make_store(base_path: Optional[str]) -> MediaStore:
     return LocalMediaStore(base_path) if base_path else NullMediaStore()
+
+
+def storage_status(store: MediaStore) -> dict:
+    """Config introspection (reference ``GET /api/cloud-storage/status``,
+    app/main.py:1357-1377): which backend is active and where it points."""
+    kind = type(store).__name__
+    return {
+        "backend": kind,
+        "cloud_enabled": kind not in ("LocalMediaStore", "NullMediaStore"),
+        "materializes": kind != "NullMediaStore",
+        "base_path": getattr(store, "base_path", None),
+    }

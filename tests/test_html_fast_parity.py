@@ -1,0 +1,54 @@
+"""Differential tests: the fast HTML tokenizer must agree with the stdlib
+parser everywhere the corpus (and reasonable markup) lives."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from docling_service_spark.corpus import build_doc
+from docling_service_spark.engine.html_extract import extract_html_blocks
+
+
+def both(fragment: str):
+    return (extract_html_blocks(fragment),
+            extract_html_blocks(fragment, force_stdlib=True))
+
+
+def test_parity_over_corpus_html():
+    checked = 0
+    for idx in range(0, 400):
+        doc = build_doc(idx)
+        for span in doc["spans"]:
+            if span["kind"] == "html":
+                fast, std = both(span["text"])
+                assert fast == std, f"divergence at doc {idx}"
+                checked += 1
+    assert checked > 100
+
+
+def test_parity_on_tricky_markup():
+    cases = [
+        "<p>entity &amp; test &lt;tag&gt; &#1090;&#1077;ст here padded to len</p>",
+        "<div CLASS='sidebar'><p>upper-case attr names should still boilerplate</p></div>",
+        '<div class="a-nav-b"><p>hyphenated boilerplate token list here ok</p></div>',
+        "<script>var x = '<p>not a paragraph</p>';</script><p>Real content paragraph survives here.</p>",
+        "<style>p:before { content: '<div>'; }</style><p>Another real content paragraph right here.</p>",
+        "<!-- comment with <p>tag</p> inside --><p>Paragraph after a tricky comment block.</p>",
+        "<!DOCTYPE html><html><body><p>Doc with doctype keeps working as expected fine.</p></body></html>",
+        "<p>self-closing imgs <img src='x'/> and breaks<br>inside a long enough paragraph body</p>",
+        "<ul><li>first item long enough to keep</li><li>second item long enough to keep</li></ul>",
+        "<h1></h1><p></p><div></div>",
+        "<p>unclosed paragraph that keeps going and going with plenty of length",
+        "<textarea><p>should be raw text</p></textarea><p>Visible paragraph after the textarea.</p>",
+    ]
+    for html in cases:
+        fast, std = both(html)
+        assert fast == std, f"divergence on: {html[:60]}"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="<>/ab &;p=\"'x-!", max_size=60))
+def test_fast_path_never_crashes_on_garbage(s):
+    # No parity requirement on garbage (leniency may differ) — but the fast
+    # path must return deterministically without raising.
+    assert extract_html_blocks(s) == extract_html_blocks(s)

@@ -91,3 +91,13 @@ def test_upload_media_null_store(spark):
     df = corpus_df(spark, 30, partitions=2)
     n = upload_media(df, None)  # compute-only mode
     assert n >= 0
+
+
+def test_storage_status_echo(tmp_path):
+    from docling_service_spark.storage import LocalMediaStore, NullMediaStore, storage_status
+
+    s = storage_status(LocalMediaStore(str(tmp_path)))
+    assert s == {"backend": "LocalMediaStore", "cloud_enabled": False,
+                 "materializes": True, "base_path": str(tmp_path)}
+    s = storage_status(NullMediaStore())
+    assert s["materializes"] is False and s["base_path"] is None
