@@ -162,6 +162,8 @@ OUTPUT_ARROW_INSTRUMENTED = pa.schema(
         pa.field("_pid", pa.int32()),
         pa.field("_bytes", pa.int64()),
         pa.field("_wall_ms", pa.int64()),  # batch wall time on first row of batch, else 0
+        pa.field("_bucket", pa.int32()),   # resume/upsert bucket (passthrough)
+        pa.field("_input_hash", pa.int64()),  # content hash of the raw spans (passthrough)
     ]
 )
 

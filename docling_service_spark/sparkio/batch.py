@@ -33,10 +33,15 @@ INSTRUMENTED_DDL = (
     "num_rows:int,num_cols:int,caption:string>>, "
     "pages array<struct<page:int,width:double,height:double>>, "
     "markdown string, status string, detail string, "
-    "_pid int, _bytes bigint, _wall_ms bigint"
+    "_pid int, _bytes bigint, _wall_ms bigint, _bucket int, _input_hash bigint"
 )
 
-INSTRUMENTATION_COLS = ["_pid", "_bytes", "_wall_ms"]
+INSTRUMENTATION_COLS = ["_pid", "_bytes", "_wall_ms", "_bucket", "_input_hash"]
+
+# Passthrough columns: computed JVM-side before the Python stage and echoed
+# by the kernel — `_bucket` (resume/upsert granularity) and `_input_hash`
+# (change detection for copy-on-write upserts, checkpoint.run_upsert).
+PASSTHROUGH_COLS = ["_bucket", "_input_hash"]
 
 
 def _failed_row(doc_id: str, exc: Exception) -> dict:
@@ -78,6 +83,7 @@ def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
     schema = pa.schema(list(OUTPUT_ARROW_INSTRUMENTED))
     for batch in batches:
         t0 = time.perf_counter()
+        have_passthrough = "_bucket" in batch.schema.names
         out_rows: list[dict] = []
         for row in batch.to_pylist():
             doc_id = row["doc_id"]
@@ -89,6 +95,8 @@ def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             res["_pid"] = pid
             res["_bytes"] = _span_bytes(spans)
             res["_wall_ms"] = 0
+            res["_bucket"] = row.get("_bucket") if have_passthrough else None
+            res["_input_hash"] = row.get("_input_hash") if have_passthrough else None
             out_rows.append(res)
         if out_rows:
             out = pa.RecordBatch.from_pylist(out_rows, schema=schema)

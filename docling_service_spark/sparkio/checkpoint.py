@@ -77,13 +77,16 @@ class SnapshotStore:
         m = self.current_manifest()
         return dict(m["buckets"]) if m else {}
 
-    def commit(self, new_buckets: list[int], run_id: str) -> int:
+    def commit(self, new_buckets: list[int], run_id: str, *, allow_overwrite: bool = False) -> int:
         # Re-read CURRENT at commit time: a concurrent run may have advanced
-        # it since this run planned its bucket set.
+        # it since this run planned its bucket set.  ``allow_overwrite`` is
+        # the copy-on-write path (run_upsert): the new run's version of a
+        # bucket shadows the old one in the manifest; the old data files stay
+        # until vacuum.
         parent = self.current_manifest()
         already = {int(b) for b in parent["buckets"]} if parent else set()
         conflicts = sorted(set(new_buckets) & already)
-        if conflicts:
+        if conflicts and not allow_overwrite:
             raise SnapshotConflictError(
                 f"buckets {conflicts} were committed concurrently; aborting commit of run {run_id}"
             )
@@ -114,16 +117,30 @@ class SnapshotStore:
 
     # -- readers ---------------------------------------------------------------
 
-    def _run_paths(self) -> list[str]:
-        runs = sorted({run_id for run_id in self.committed_buckets().values()})
-        return [os.path.join(self.root, "data", f"run={r}") for r in runs]
+    def _runs_to_buckets(self) -> dict[str, list[int]]:
+        out: dict[str, list[int]] = {}
+        for b, run_id in self.committed_buckets().items():
+            out.setdefault(run_id, []).append(int(b))
+        return out
 
     def read_output(self, spark: SparkSession, *, instrumented: bool = False) -> DataFrame:
-        paths = self._run_paths()
-        if not paths:
+        """Union of per-run reads, each filtered to the buckets the CURRENT
+        manifest maps to that run — an upsert shadows a bucket's old rows by
+        remapping it, and this filter (pushed into the parquet scan) is what
+        makes the shadowing effective without rewriting old files."""
+        runs = self._runs_to_buckets()
+        if not runs:
             df = spark.createDataFrame([], INSTRUMENTED_DDL)
-        else:
-            df = spark.read.schema(INSTRUMENTED_DDL).parquet(*paths)
+            return df if instrumented else strip_instrumentation(df)
+        parts = []
+        for run_id, buckets in sorted(runs.items()):
+            df = spark.read.schema(INSTRUMENTED_DDL).parquet(
+                os.path.join(self.root, "data", f"run={run_id}")
+            )
+            parts.append(df.filter(F.col("_bucket").isin(buckets)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df if instrumented else strip_instrumentation(df)
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
@@ -165,15 +182,19 @@ def vacuum(root: str, *, keep_manifests: int = 10) -> dict:
 
     store = SnapshotStore(root)
     m = store.current_manifest()
-    live_runs = set(m["buckets"].values()) | set(m.get("lineage_runs", [])) if m else set()
+    # Data liveness = buckets currently mapped to the run (an upsert that
+    # shadows ALL of a run's buckets frees its data); lineage liveness =
+    # run history (kept as long as the manifest references it).
+    data_live = set(m["buckets"].values()) if m else set()
+    lineage_live = set(m.get("lineage_runs", [])) if m else set()
 
     removed_runs: list[str] = []
-    for kind in ("data", "lineage"):
+    for kind, live in (("data", data_live), ("lineage", lineage_live)):
         base = os.path.join(root, kind)
         if not os.path.isdir(base):
             continue
         for entry in sorted(os.listdir(base)):
-            if entry.startswith("run=") and entry[4:] not in live_runs:
+            if entry.startswith("run=") and entry[4:] not in live:
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
                 removed_runs.append(f"{kind}/{entry}")
 
@@ -213,15 +234,30 @@ def run_incremental(
     if not todo:
         return {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
 
-    bucketed = input_df.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
-    )
+    prepared = prepare_input(input_df, n_buckets)
     # Bucket-set membership is the scalable resume predicate (O(manifest) and
     # pushed into the scan); when todo == everything it folds to a full scan.
     if len(todo) < n_buckets:
-        bucketed = bucketed.filter(F.col("bucket").isin([int(b) for b in todo]))
+        prepared = prepared.filter(F.col("_bucket").isin([int(b) for b in todo]))
 
-    out = run_extraction(bucketed.drop("bucket"), num_partitions=num_partitions)
+    return _process_and_commit(spark, store, prepared, root, todo, run_id,
+                               num_partitions=num_partitions, allow_overwrite=False)
+
+
+def prepare_input(input_df: DataFrame, n_buckets: int) -> DataFrame:
+    """Attach the passthrough columns: ``_bucket`` (resume/upsert granularity)
+    and ``_input_hash`` (content fingerprint of the raw spans, for change
+    detection).  Both JVM-side, columnar."""
+    return input_df.withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn(
+        "_input_hash", F.xxhash64("doc_id", F.to_json("spans"))
+    )
+
+
+def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
+                        num_partitions, allow_overwrite) -> dict:
+    out = run_extraction(prepared, num_partitions=num_partitions)
 
     data_dir = os.path.join(root, "data", f"run={run_id}")
     out.write.parquet(data_dir, mode="overwrite")
@@ -235,6 +271,46 @@ def run_incremental(
     lineage.write.parquet(os.path.join(root, "lineage", f"run={run_id}"), mode="overwrite")
 
     docs = written.count()
-    actual_snapshot = store.commit(todo, run_id)
+    actual_snapshot = store.commit(buckets, run_id, allow_overwrite=allow_overwrite)
     assert actual_snapshot == snapshot_id
-    return {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": todo, "docs": docs}
+    return {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets, "docs": docs}
+
+
+def run_upsert(
+    spark: SparkSession,
+    input_df: DataFrame,
+    root: str,
+    *,
+    n_buckets: int = 64,
+    num_partitions: Optional[int] = None,
+    run_id: Optional[str] = None,
+) -> dict:
+    """Copy-on-write upsert: reprocess only buckets containing new or changed
+    documents (``_input_hash`` mismatch vs the committed snapshot), rewrite
+    those buckets wholesale from the new input, and remap them in the
+    manifest.  Unchanged buckets keep their existing files untouched; fully
+    shadowed runs become vacuum-able orphans.
+
+    Semantics per dirty bucket = full replacement from the new input: a doc
+    absent from the new input disappears from that bucket (deletes work);
+    docs in clean buckets are never touched.  Change detection is a doc-level
+    hash anti-join — O(input) columnar work, the unavoidable cost of diffing.
+    """
+    store = SnapshotStore(root)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    prepared = prepare_input(input_df, n_buckets)
+
+    current = store.read_output(spark, instrumented=True).select(
+        "doc_id", F.col("_input_hash").alias("_old_hash")
+    )
+    dirty_docs = (
+        prepared.join(current, "doc_id", "left")
+        .filter(F.col("_old_hash").isNull() | (F.col("_old_hash") != F.col("_input_hash")))
+    )
+    dirty_buckets = sorted(r["_bucket"] for r in dirty_docs.select("_bucket").distinct().collect())
+    if not dirty_buckets:
+        return {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
+
+    todo_input = prepared.filter(F.col("_bucket").isin(dirty_buckets))
+    return _process_and_commit(spark, store, todo_input, root, dirty_buckets, run_id,
+                               num_partitions=num_partitions, allow_overwrite=True)

@@ -39,12 +39,14 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--no-warm", action="store_true",
                     help="skip the steady-state warm-up (include worker spawn in the timing)")
+    ap.add_argument("--upsert", action="store_true",
+                    help="copy-on-write mode: reprocess only buckets with new/changed docs")
     args = ap.parse_args(argv)
     if (args.input is None) == (args.n_docs is None):
         ap.error("exactly one of --input / --n-docs is required")
 
     from docling_service_spark.corpus import corpus_df
-    from docling_service_spark.sparkio.checkpoint import SnapshotStore, run_incremental
+    from docling_service_spark.sparkio.checkpoint import SnapshotStore, run_incremental, run_upsert
     from docling_service_spark.sparkio.session import get_spark
 
     spark = get_spark(args.master, app_name="dss-extract-job")
@@ -66,13 +68,21 @@ def main(argv=None) -> int:
         gen_p = args.gen_partitions or spark.sparkContext.defaultParallelism * 4
         inp = corpus_df(spark, args.n_docs, seed=args.seed, partitions=gen_p)
 
-    summary = run_incremental(
-        spark, inp, args.output,
-        n_buckets=args.n_buckets,
-        max_buckets_per_run=args.max_buckets_per_run,
-        num_partitions=args.partitions,
-        run_id=args.run_id,
-    )
+    if args.upsert:
+        summary = run_upsert(
+            spark, inp, args.output,
+            n_buckets=args.n_buckets,
+            num_partitions=args.partitions,
+            run_id=args.run_id,
+        )
+    else:
+        summary = run_incremental(
+            spark, inp, args.output,
+            n_buckets=args.n_buckets,
+            max_buckets_per_run=args.max_buckets_per_run,
+            num_partitions=args.partitions,
+            run_id=args.run_id,
+        )
     wall = time.perf_counter() - t0
 
     store = SnapshotStore(args.output)
@@ -83,7 +93,10 @@ def main(argv=None) -> int:
         "snapshot_id": summary["snapshot_id"],
         "buckets_processed": len(summary["buckets"]),
         "docs_this_run": summary["docs"],
-        "docs_committed_total": int(stats[0] or 0),
+        # lineage totals record WORK done across all runs (upserts reprocess);
+        # docs_in_snapshot is the live table size.
+        "docs_processed_all_runs": int(stats[0] or 0),
+        "docs_in_snapshot": store.read_output(spark).count(),
         "parse_failures_total": int(stats[1] or 0),
         "extract_wall_ms_total": int(stats[2] or 0),
         "run_wall_sec": round(wall, 2),
