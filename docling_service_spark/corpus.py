@@ -94,6 +94,26 @@ def _geom(page: int, x: float, y_top_from_top: float, w: float, h: float, origin
     return f"{page},{x},{y},{w},{h},{origin}"
 
 
+def _two_column_page(rng: random.Random, page: int, origin: str) -> list[dict]:
+    """A two-column page: spanning heading, L/R column paragraphs, closing
+    full-width block — exercises the column-aware reading order."""
+    spans = [{"kind": "text_block", "text": _words(rng, 4).title(),
+              "media_ref": _geom(page, 72.0, 40.0, 460.0, 24.0, origin) + ",heading", "offset": 0}]
+    y_l = y_r = 90.0
+    for _ in range(rng.randint(2, 5)):
+        spans.append({"kind": "text_block", "text": _sentence(rng),
+                      "media_ref": _geom(page, 50.0, y_l, 230.0, 40.0, origin) + ",text", "offset": 0})
+        y_l += 55.0
+    for _ in range(rng.randint(2, 5)):
+        spans.append({"kind": "text_block", "text": _sentence(rng),
+                      "media_ref": _geom(page, 330.0, y_r, 230.0, 40.0, origin) + ",text", "offset": 0})
+        y_r += 55.0
+    spans.append({"kind": "text_block", "text": _sentence(rng),
+                  "media_ref": _geom(page, 72.0, max(y_l, y_r) + 30.0, 460.0, 20.0, origin) + ",text",
+                  "offset": 0})
+    return spans
+
+
 def _pdf_doc_blocks(rng: random.Random, n_pages: int, blocks_per_page: int) -> list[dict]:
     """Unordered positioned spans (offset assigned later, scrambled)."""
     spans = [
@@ -101,6 +121,9 @@ def _pdf_doc_blocks(rng: random.Random, n_pages: int, blocks_per_page: int) -> l
         for p in range(1, n_pages + 1)
     ]
     for page in range(1, n_pages + 1):
+        if rng.random() < 0.15:  # ~15% of pages are two-column layouts
+            spans += _two_column_page(page=page, rng=rng, origin=rng.choice(["TOPLEFT", "BOTTOMLEFT"]))
+            continue
         origin = rng.choice(["TOPLEFT", "BOTTOMLEFT"])
         y = 60.0
         for bi in range(blocks_per_page):

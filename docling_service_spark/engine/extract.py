@@ -103,6 +103,50 @@ def _collect_blocks(spans: list[dict], pages: dict[int, tuple[float, float]]) ->
     return blocks
 
 
+def _apply_column_order(blocks: list[_Block], pages: dict[int, tuple[float, float]]) -> None:
+    """Reading-order re-keying for two-column pages (SURVEY §2-A6: layout
+    reading-order reconstruction).
+
+    A page switches to column-wise order only when it contains blocks
+    entirely in BOTH halves (evidence of a real two-column layout — the rule
+    never engages on single-column pages, so their order is untouched).
+    Full-width blocks partition the page into vertical segments; within a
+    segment the left column reads top-to-bottom, then the right column.  A
+    full-width block above columns (a spanning heading) precedes them; one
+    below (a closing paragraph) follows them.  Keys become
+    ``(page, segment, column_rank, y, x, offset, intra)`` — single-column
+    pages get ``segment=0, column_rank=0`` so ordering is unchanged.
+    """
+    from bisect import bisect_right
+    from collections import defaultdict
+
+    by_page: dict[int, list[_Block]] = defaultdict(list)
+    for b in blocks:
+        by_page[b.sort_key[0]].append(b)
+
+    for page, blist in by_page.items():
+        pw = pages.get(page, (None, None))[0]
+        cls = {id(b): G.column_class(b.box, pw) for b in blist}
+        has_l = any(c == "L" for c in cls.values())
+        has_r = any(c == "R" for c in cls.values())
+        if not (has_l and has_r):
+            for b in blist:
+                b.sort_key = (page, 0, 0) + b.sort_key[1:]
+            continue
+        f_blocks = sorted((b for b in blist if cls[id(b)] == "F"), key=lambda b: b.sort_key[1:])
+        f_index = {id(b): i for i, b in enumerate(f_blocks)}
+        f_ys = [b.sort_key[1] for b in f_blocks]
+        for b in blist:
+            c = cls[id(b)]
+            if c == "F":
+                # seg = count of full-width blocks strictly above → a
+                # spanning block closes the column segment above it.
+                b.sort_key = (page, f_index[id(b)], 2) + b.sort_key[1:]
+            else:
+                seg = bisect_right(f_ys, b.sort_key[1])
+                b.sort_key = (page, seg, 0 if c == "L" else 1) + b.sort_key[1:]
+
+
 def _render_table(cells: list[list[Any]]) -> str:
     if not cells:
         return ""
@@ -189,6 +233,7 @@ def extract_document(doc_id: str, spans: Optional[list[dict]]) -> dict:
 
     pages: dict[int, tuple[float, float]] = {}
     blocks = _collect_blocks(spans, pages)
+    _apply_column_order(blocks, pages)
     blocks.sort(key=lambda b: b.sort_key)
 
     # Ordinal ids count ALL images/tables in reading order, including images

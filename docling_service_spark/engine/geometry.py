@@ -101,6 +101,26 @@ def y_from_top(box: BBox, page_height: Optional[float]) -> float:
     return page_height - box.y
 
 
+COLUMN_TOL_FRAC = 0.02
+
+
+def column_class(box: Optional[BBox], page_width: Optional[float]) -> str:
+    """Two-column layout classification: 'L' (entirely left of the page
+    midline), 'R' (entirely right), or 'F' (full-width / crosses the middle).
+
+    Used by the reading-order re-keying pass (extract._apply_column_order):
+    a page reads column-wise only when it has evidence of BOTH columns."""
+    if box is None or not page_width or page_width <= 0:
+        return "F"
+    split = page_width / 2
+    tol = page_width * COLUMN_TOL_FRAC
+    if box.x + box.width <= split + tol:
+        return "L"
+    if box.x >= split - tol:
+        return "R"
+    return "F"
+
+
 def image_skip_reason(
     box: Optional[BBox],
     px_w: int,

@@ -181,3 +181,47 @@ ALL_FIXTURES = [
     DOC_REPORT, DOC_FILTERED, DOC_TOPLEFT, DOC_BOTTOMLEFT,
     DOC_DEDUP_A, DOC_DEDUP_B, DOC_EMPTY_PAGE, DOC_ALL_PAGES_EMPTY, DOC_MALFORMED,
 ]
+
+
+# --- doc_two_column ---------------------------------------------------------------
+# Page midline = 306; tol = 12.24. Left column: x+w <= 318.24; right: x >= 293.76.
+
+_2COL_BLOCKS = [
+    _dims(1),
+    _tb(1, 72, 40, 460, 24, "heading", "Spanning Title"),          # F (crosses middle)
+    _tb(1, 50, 100, 230, 20, "text", "Left column first paragraph."),   # L
+    _tb(1, 50, 200, 230, 20, "text", "Left column second paragraph."),  # L
+    _tb(1, 330, 120, 230, 20, "text", "Right column first paragraph."), # R
+    _tb(1, 330, 180, 230, 20, "text", "Right column second paragraph."),# R
+    _tb(1, 72, 600, 460, 20, "text", "Full-width closing paragraph."),  # F
+]
+_2COL_PERM = [0, 4, 2, 6, 1, 5, 3]
+DOC_TWO_COLUMN = {
+    "doc_id": "fixture-two-column",
+    "spans": [dict(_2COL_BLOCKS[i], offset=n) for n, i in enumerate(_2COL_PERM)],
+}
+
+GOLDEN_TWO_COLUMN_TEXTS = [
+    "<!-- Page 1 -->",
+    "Spanning Title",                    # F above → opens
+    "Left column first paragraph.",      # L top-to-bottom
+    "Left column second paragraph.",
+    "Right column first paragraph.",     # then R top-to-bottom
+    "Right column second paragraph.",
+    "Full-width closing paragraph.",     # F below → closes
+]
+
+# Same blocks but with the right column removed → single-column mode:
+# pure y-order applies (no column grouping).
+DOC_LEFT_ONLY = {
+    "doc_id": "fixture-left-only",
+    "spans": [dict(b, offset=i) for i, b in enumerate(
+        [_2COL_BLOCKS[0], _2COL_BLOCKS[1], _2COL_BLOCKS[2], _2COL_BLOCKS[3], _2COL_BLOCKS[6]])],
+}
+GOLDEN_LEFT_ONLY_TEXTS = [
+    "<!-- Page 1 -->",
+    "Spanning Title",
+    "Left column first paragraph.",
+    "Left column second paragraph.",
+    "Full-width closing paragraph.",
+]

@@ -136,3 +136,13 @@ def test_offset_is_dense_ordinal():
             continue
         r = extract_document(fx["doc_id"], fx["spans"])
         assert [s["offset"] for s in r["spans"]] == list(range(len(r["spans"])))
+
+
+def test_two_column_reading_order():
+    r = extract_document(FX.DOC_TWO_COLUMN["doc_id"], FX.DOC_TWO_COLUMN["spans"])
+    assert [s["text"] for s in r["spans"]] == FX.GOLDEN_TWO_COLUMN_TEXTS
+
+
+def test_single_column_page_not_affected_by_column_rule():
+    r = extract_document(FX.DOC_LEFT_ONLY["doc_id"], FX.DOC_LEFT_ONLY["spans"])
+    assert [s["text"] for s in r["spans"]] == FX.GOLDEN_LEFT_ONLY_TEXTS
