@@ -191,3 +191,80 @@ ORACLES = {
     "q41_lsh_buckets": ORACLE_Q41,
     "q42_lsh_bucketed_neighbors": ORACLE_Q42,
 }
+
+
+NEAR_DUP_SIM_E6 = 350_000  # cosine >= 0.35 (synthetic vectors are near-orthogonal)
+
+
+MAX_CC_ROUNDS = 20
+
+
+def q43_embedding_near_dup_keepers(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: vectors in the same *connected
+    component* of the near-dup graph (LSH-bucketed pairs above the
+    similarity threshold) collapse to the component's minimum vec_id —
+    the group-minimum keeper rule of content-hash dedup, and idempotent:
+    every keeper_id is itself a keeper even through similarity chains
+    (cosine is not transitive).
+
+    Components are computed by iterative min-label propagation (the
+    standard distributed connected-components loop) — the engine's
+    'iterative algorithm' example; the oracle computes the exact
+    transitive closure with a recursive CTE."""
+    pairs = q42_lsh_bucketed_neighbors(spark, sf_dir).filter(
+        F.col("sim_e6") >= NEAR_DUP_SIM_E6
+    )
+    emb = load(spark, sf_dir, "embeddings").select(F.col("vec_id").cast("bigint").alias("vec_id"))
+    edges = (
+        pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer"))
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer")))
+        .cache()
+    )
+    labels = emb.select("vec_id", F.col("vec_id").alias("keeper_id")).cache()
+    for _ in range(MAX_CC_ROUNDS):
+        neigh = (
+            edges.join(labels.select(F.col("vec_id").alias("peer"),
+                                     F.col("keeper_id").alias("peer_keeper")), "peer")
+            .groupBy("vec_id").agg(F.min("peer_keeper").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "vec_id", "left")
+            .select("vec_id",
+                    F.least(F.col("keeper_id"), F.coalesce(F.col("nmin"), F.col("keeper_id")))
+                    .alias("keeper_id"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "vec_id")
+            .filter(F.col("n.keeper_id") != F.col("o.keeper_id")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+# Composes ORACLE_Q42 as a subquery (single source of truth for the pair
+# generation); the recursive CTE is the exact transitive closure.
+ORACLE_Q43 = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({ORACLE_Q42}) WHERE sim_e6 >= {NEAR_DUP_SIM_E6}),
+edges AS (
+  SELECT id_a AS vec_id, id_b AS peer FROM pairs
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS peer FROM pairs),
+reach(vec_id, peer) AS (
+  SELECT vec_id, peer FROM edges
+  UNION
+  SELECT r.vec_id, e.peer FROM reach r JOIN edges e ON r.peer = e.vec_id),
+keepers AS (SELECT vec_id, MIN(peer) AS min_reach FROM reach GROUP BY vec_id)
+SELECT e.vec_id,
+       LEAST(e.vec_id, COALESCE(k.min_reach, e.vec_id)) AS keeper_id
+FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings) e
+LEFT JOIN keepers k ON k.vec_id = e.vec_id
+"""
+
+QUERIES["q43_embedding_near_dup_keepers"] = q43_embedding_near_dup_keepers
+ORACLES["q43_embedding_near_dup_keepers"] = ORACLE_Q43
