@@ -318,10 +318,15 @@ def extract_document(doc_id: str, spans: Optional[list[dict]]) -> dict:
         md_chunks.extend(_render_block(b["kind"], b["text"], b["level"], b["media_ref"]) for b in out_blocks)
         markdown_body = "\n\n".join(md_chunks)
     else:
-        page_order = sorted(set(pages) | {b["page"] for b in out_blocks})
+        # Group once (O(blocks)); out_blocks is already in reading order, so
+        # each page's list stays ordered.
+        blocks_by_page: dict[int, list[dict]] = {}
+        for b in out_blocks:
+            blocks_by_page.setdefault(b["page"], []).append(b)
+        page_order = sorted(set(pages) | set(blocks_by_page))
         nonempty = 0
         for page_no in page_order:
-            page_blocks = [b for b in out_blocks if b["page"] == page_no]
+            page_blocks = blocks_by_page.get(page_no, [])
             if not page_blocks:
                 continue  # empty page: no marker (reference :466-467)
             nonempty += 1

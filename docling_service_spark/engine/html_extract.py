@@ -80,11 +80,20 @@ _TOKEN_RE = re.compile(
     r"|<![^>]*>?"                        # doctype / other declarations
     r"|<\?[^>]*>?"                       # processing instructions
     r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)"     # 1: closing slash, 2: tag name
-    r"((?:\"[^\"]*\"|'[^']*'|[^>])*)"    # 3: attribute text (quote-aware)
+    # 3: attribute text.  The unquoted branch must EXCLUDE quote characters:
+    # with a bare [^>] fallback every quote char is matched by two branches
+    # and a run of unpaired quotes backtracks exponentially (a 50-char
+    # hostile tag hung the extractor >10 s).  Disjoint branches = linear.
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"
     r"(/?)>",                            # 4: self-closing slash
     re.S,
 )
 _RAWTEXT_TAGS = frozenset(["script", "style", "textarea", "title"])
+# Case-insensitive close-tag scanners for rawtext elements.  Searching the
+# original string keeps offsets valid — str.lower() can CHANGE LENGTH
+# (e.g. 'İ' U+0130 lowercases to two chars), which shifted indices and
+# silently swallowed content after the rawtext element.
+_RAWTEXT_CLOSE = {t: re.compile(f"</{t}", re.I) for t in _RAWTEXT_TAGS}
 
 
 def _unescape(text: str) -> str:
@@ -100,7 +109,6 @@ def _fast_build(fragment: str) -> _Element:
     stack = [root]
     pos = 0
     n = len(fragment)
-    lower = None  # lazily lowered copy for rawtext close-tag scans
     while pos < n:
         m = _TOKEN_RE.search(fragment, pos)
         if m is None:
@@ -126,14 +134,12 @@ def _fast_build(fragment: str) -> _Element:
         if m.group(4) or tag in VOID_TAGS:
             continue
         if tag in _RAWTEXT_TAGS:
-            if lower is None:
-                lower = fragment.lower()
-            end = lower.find(f"</{tag}", pos)
-            if end == -1:
+            close = _RAWTEXT_CLOSE[tag].search(fragment, pos)
+            if close is None:
                 el.children.append(fragment[pos:])
                 break
-            el.children.append(fragment[pos:end])
-            gt = fragment.find(">", end)
+            el.children.append(fragment[pos : close.start()])
+            gt = fragment.find(">", close.end())
             pos = n if gt == -1 else gt + 1
             continue
         stack.append(el)

@@ -77,7 +77,20 @@ class SnapshotStore:
         m = self.current_manifest()
         return dict(m["buckets"]) if m else {}
 
-    def commit(self, new_buckets: list[int], run_id: str, *, allow_overwrite: bool = False) -> int:
+    def check_n_buckets(self, n_buckets: int) -> None:
+        """The bucket count is part of the table's identity: re-hashing doc
+        ids into a different bucket space silently shadows unrelated docs on
+        overwrite commits.  Fail loudly on mismatch."""
+        m = self.current_manifest()
+        committed = (m or {}).get("n_buckets")
+        if committed is not None and committed != n_buckets:
+            raise ValueError(
+                f"store at {self.root} was committed with n_buckets={committed}; "
+                f"got n_buckets={n_buckets} — bucket counts are immutable per table"
+            )
+
+    def commit(self, new_buckets: list[int], run_id: str, *, allow_overwrite: bool = False,
+               n_buckets: Optional[int] = None) -> int:
         # Re-read CURRENT at commit time: a concurrent run may have advanced
         # it since this run planned its bucket set.  ``allow_overwrite`` is
         # the copy-on-write path (run_upsert): the new run's version of a
@@ -100,6 +113,7 @@ class SnapshotStore:
             "run_id": run_id,
             "parent_snapshot_id": parent["snapshot_id"] if parent else None,
             "committed_at_unix_ms": int(time.time() * 1000),
+            "n_buckets": n_buckets if n_buckets is not None else (parent or {}).get("n_buckets"),
             "buckets": buckets,
             "lineage_runs": lineage_runs,
         }
@@ -170,14 +184,18 @@ def register_views(spark: SparkSession, root: str, *, prefix: str = "dss") -> li
     return [f"{prefix}_extracted", f"{prefix}_lineage", f"{prefix}_spans"]
 
 
-def vacuum(root: str, *, keep_manifests: int = 10) -> dict:
+def vacuum(root: str, *, keep_manifests: int = 10, min_age_hours: float = 6.0) -> dict:
     """Table maintenance (reference analog: storage-quota eviction + retention
     cleanup, app/main.py:943-992 / app/storage_cleanup.py:12-53): delete
     orphan run dirs (written by crashed or conflict-losing runs, referenced by
     no manifest) and expire old manifests beyond the last ``keep_manifests``.
 
-    CURRENT and every run it references are never touched, so vacuum is safe
-    concurrently with readers of the current snapshot."""
+    CURRENT and every run it references are never touched.  ``min_age_hours``
+    is the grace period protecting *in-flight* runs: a run writes its data
+    dir before committing, so an unreferenced-but-recent dir may be about to
+    commit — only dirs older than the grace period are treated as orphans
+    (the Iceberg orphan-file retention analog).  Pass 0 only when no run can
+    be in flight."""
     import shutil
 
     store = SnapshotStore(root)
@@ -188,14 +206,17 @@ def vacuum(root: str, *, keep_manifests: int = 10) -> dict:
     data_live = set(m["buckets"].values()) if m else set()
     lineage_live = set(m.get("lineage_runs", [])) if m else set()
 
+    cutoff = time.time() - min_age_hours * 3600
     removed_runs: list[str] = []
     for kind, live in (("data", data_live), ("lineage", lineage_live)):
         base = os.path.join(root, kind)
         if not os.path.isdir(base):
             continue
         for entry in sorted(os.listdir(base)):
-            if entry.startswith("run=") and entry[4:] not in live:
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            path = os.path.join(base, entry)
+            if (entry.startswith("run=") and entry[4:] not in live
+                    and os.path.getmtime(path) <= cutoff):
+                shutil.rmtree(path, ignore_errors=True)
                 removed_runs.append(f"{kind}/{entry}")
 
     removed_manifests: list[str] = []
@@ -226,6 +247,7 @@ def run_incremental(
     coverage — tested in tests/test_checkpoint.py).
     """
     store = SnapshotStore(root)
+    store.check_n_buckets(n_buckets)
     run_id = run_id or uuid.uuid4().hex[:12]
     committed = {int(b) for b in store.committed_buckets()}
     todo = sorted(set(range(n_buckets)) - committed)
@@ -241,7 +263,8 @@ def run_incremental(
         prepared = prepared.filter(F.col("_bucket").isin([int(b) for b in todo]))
 
     return _process_and_commit(spark, store, prepared, root, todo, run_id,
-                               num_partitions=num_partitions, allow_overwrite=False)
+                               num_partitions=num_partitions, allow_overwrite=False,
+                               n_buckets=n_buckets)
 
 
 def prepare_input(input_df: DataFrame, n_buckets: int) -> DataFrame:
@@ -256,23 +279,28 @@ def prepare_input(input_df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
-                        num_partitions, allow_overwrite) -> dict:
+                        num_partitions, allow_overwrite, n_buckets) -> dict:
     out = run_extraction(prepared, num_partitions=num_partitions)
 
     data_dir = os.path.join(root, "data", f"run={run_id}")
     out.write.parquet(data_dir, mode="overwrite")
 
+    written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
+    docs = written.count()
+
+    # Commit FIRST, then stamp lineage with the snapshot id the commit
+    # actually produced — a concurrent disjoint-bucket commit can advance
+    # CURRENT between planning and commit, and a precomputed id would leave
+    # the lineage table stamped with a stale snapshot.  A crash between
+    # commit and the lineage write only loses metrics rows (read_lineage
+    # skips missing run dirs), never data.
+    snapshot_id = store.commit(buckets, run_id, allow_overwrite=allow_overwrite,
+                               n_buckets=n_buckets)
+
     # Lineage from the written files: prunes to the instrumentation columns,
     # so this scan costs footer-reads + three narrow columns, not a re-run.
-    parent = store.current_manifest()
-    snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
-    written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
     lineage = derive_lineage(written, run_id, snapshot_id)
     lineage.write.parquet(os.path.join(root, "lineage", f"run={run_id}"), mode="overwrite")
-
-    docs = written.count()
-    actual_snapshot = store.commit(buckets, run_id, allow_overwrite=allow_overwrite)
-    assert actual_snapshot == snapshot_id
     return {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets, "docs": docs}
 
 
@@ -292,25 +320,38 @@ def run_upsert(
     shadowed runs become vacuum-able orphans.
 
     Semantics per dirty bucket = full replacement from the new input: a doc
-    absent from the new input disappears from that bucket (deletes work);
-    docs in clean buckets are never touched.  Change detection is a doc-level
-    hash anti-join — O(input) columnar work, the unavoidable cost of diffing.
+    absent from the new input disappears from that bucket (deletes mark the
+    bucket dirty via the full-outer diff below); docs in clean buckets are
+    never touched.  Change detection is a doc-level hash diff — O(input +
+    table) columnar work, the unavoidable cost of diffing.
     """
     store = SnapshotStore(root)
+    store.check_n_buckets(n_buckets)
     run_id = run_id or uuid.uuid4().hex[:12]
     prepared = prepare_input(input_df, n_buckets)
 
     current = store.read_output(spark, instrumented=True).select(
         "doc_id", F.col("_input_hash").alias("_old_hash")
     )
-    dirty_docs = (
-        prepared.join(current, "doc_id", "left")
-        .filter(F.col("_old_hash").isNull() | (F.col("_old_hash") != F.col("_input_hash")))
+    # Full-outer diff: new docs (old null), changed docs (hash mismatch), AND
+    # deleted docs (new null — present in the table, absent from the input).
+    diff = prepared.select("doc_id", "_bucket", "_input_hash").join(current, "doc_id", "full")
+    dirty_docs = diff.filter(
+        F.col("_old_hash").isNull()
+        | F.col("_input_hash").isNull()
+        | (F.col("_old_hash") != F.col("_input_hash"))
     )
-    dirty_buckets = sorted(r["_bucket"] for r in dirty_docs.select("_bucket").distinct().collect())
+    # Deleted docs carry no _bucket from the input side — recompute from doc_id.
+    dirty_bucket_col = F.coalesce(
+        F.col("_bucket"), F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    dirty_buckets = sorted(
+        r["b"] for r in dirty_docs.select(dirty_bucket_col.alias("b")).distinct().collect()
+    )
     if not dirty_buckets:
         return {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
 
     todo_input = prepared.filter(F.col("_bucket").isin(dirty_buckets))
     return _process_and_commit(spark, store, todo_input, root, dirty_buckets, run_id,
-                               num_partitions=num_partitions, allow_overwrite=True)
+                               num_partitions=num_partitions, allow_overwrite=True,
+                               n_buckets=n_buckets)

@@ -19,43 +19,68 @@ the decoded blob column.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..hashing import media_key
+from ..hashing import media_key, xxh64_hexdigest
 
 
-def distinct_media(corpus_df: DataFrame) -> DataFrame:
-    """All kept-image content payloads in the corpus, one row per distinct
-    content hash (the upload work-list).
+def _with_content_hash(df: DataFrame) -> DataFrame:
+    """Engine media hash (seed-0 XXH64 hex of the payload) as a column —
+    vectorized pandas batches (Spark's builtin xxhash64 is seed-42 over
+    typed values, not byte-compatible with the engine's keys)."""
+    def add_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content_hash"] = [xxh64_hexdigest(k.encode("utf-8")) for k in pdf["content_key"]]
+            yield pdf
 
-    Columnar only: explode → filter kind → parse the content key (9th field
-    of the image media_ref, which may itself contain commas → split with a
-    field cap, then slice).
+    return df.mapInPandas(add_hash, "content_key string, content_hash string")
+
+
+def distinct_media(corpus_df: DataFrame, output_df: Optional[DataFrame] = None) -> DataFrame:
+    """The upload work-list: one row per distinct media payload.
+
+    With ``output_df`` (the extraction output) the list is exactly the KEPT
+    images — a semi-join of candidate payloads against the content hashes the
+    extractor actually emitted, so filtered images and failed documents never
+    upload (reference semantics, app/main.py:701-729).  Without it, the list
+    is every distinct candidate payload (a superset: use for pre-staging).
+
+    Columnar: explode → filter kind → parse the content key (9th field of
+    the image media_ref, which may itself contain commas → split with a
+    field cap).
     """
     spans = corpus_df.select(F.explode("spans").alias("s"))
     imgs = spans.filter(F.col("s.kind") == "image").select(F.col("s.media_ref").alias("ref"))
-    # content key = everything after the 8th comma
     parts = F.split(F.col("ref"), ",", 9)
-    payload = F.element_at(parts, 9)
-    return (
-        imgs.select(payload.alias("content_key"))
+    cands = (
+        imgs.select(F.element_at(parts, 9).alias("content_key"))
         .filter(F.col("content_key").isNotNull())
         .dropDuplicates(["content_key"])
-        .select(
-            "content_key",
-            F.encode("content_key", "utf-8").alias("payload"),
-        )
     )
+    if output_df is not None:
+        kept = (
+            output_df.select(F.explode("images").alias("img"))
+            .select(F.col("img.content_hash").alias("content_hash"))
+            .dropDuplicates(["content_hash"])
+        )
+        cands = _with_content_hash(cands).join(F.broadcast(kept), "content_hash", "left_semi") \
+            .select("content_key")
+    return cands.select("content_key", F.encode("content_key", "utf-8").alias("payload"))
 
 
-def upload_media(corpus_df: DataFrame, base_path: Optional[str]) -> int:
+def upload_media(corpus_df: DataFrame, base_path: Optional[str],
+                 output_df: Optional[DataFrame] = None) -> int:
     """Upload every distinct media blob; returns the distinct count.
 
     ``foreachPartition`` keeps the store client per-partition (reference
-    builds one backend per request; we build one per task)."""
-    work = distinct_media(corpus_df)
+    builds one backend per request; we build one per task).  The work-list
+    is persisted across the two actions (sink + count) so the explode/dedup
+    shuffle runs once."""
+    work = distinct_media(corpus_df, output_df).persist()
 
     def sink(rows) -> None:
         from ..storage import make_store
@@ -67,8 +92,11 @@ def upload_media(corpus_df: DataFrame, base_path: Optional[str]) -> int:
             if not store.exists(key):  # dedup-skip, app/main.py:721-725
                 store.put_bytes(key, payload)
 
-    work.foreachPartition(sink)
-    return work.count()
+    try:
+        work.foreachPartition(sink)
+        return work.count()
+    finally:
+        work.unpersist()
 
 
 def media_dedup_stats(corpus_df: DataFrame) -> DataFrame:

@@ -115,7 +115,7 @@ def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
 
     store = SnapshotStore(root)
     before = store.read_output(spark).count()
-    report = vacuum(root, keep_manifests=10)
+    report = vacuum(root, keep_manifests=10, min_age_hours=0)
     assert "data/run=orphan" in report["removed_run_dirs"]
     assert not os.path.exists(os.path.join(root, "data", "run=orphan"))
     # Live data untouched; snapshot still reads identically.
@@ -132,7 +132,7 @@ def test_vacuum_expires_old_manifests(tmp_path):
     store = SnapshotStore(root)
     for i in range(15):
         store.commit([i], f"r{i}")
-    report = vacuum(root, keep_manifests=5)
+    report = vacuum(root, keep_manifests=5, min_age_hours=0)
     assert len(report["removed_manifests"]) == 10
     assert store.current_manifest()["snapshot_id"] == 15  # pointer intact
     remaining = sorted(os.listdir(store.manifest_dir))
@@ -159,3 +159,31 @@ def test_register_views_sql_surface(spark, tmp_path):
     assert bad == 0
     lin = spark.sql("SELECT sum(doc_count) AS d FROM dss_lineage").collect()[0]["d"]
     assert lin == 30
+
+
+def test_n_buckets_immutable(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "table")
+    run_incremental(spark, corpus_df(spark, 20, partitions=2), root, n_buckets=8, run_id="a")
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_incremental(spark, corpus_df(spark, 20, partitions=2), root, n_buckets=4, run_id="b")
+    from docling_service_spark.sparkio.checkpoint import run_upsert
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_upsert(spark, corpus_df(spark, 20, partitions=2), root, n_buckets=16, run_id="c")
+
+
+def test_vacuum_grace_period_protects_fresh_orphans(spark, tmp_path):
+    import os
+
+    from docling_service_spark.sparkio.checkpoint import vacuum
+
+    root = str(tmp_path / "table")
+    run_incremental(spark, corpus_df(spark, 20, partitions=2), root, n_buckets=2, run_id="live")
+    os.makedirs(os.path.join(root, "data", "run=inflight"), exist_ok=True)
+    report = vacuum(root)  # default grace period: fresh dir must survive
+    assert report["removed_run_dirs"] == []
+    assert os.path.exists(os.path.join(root, "data", "run=inflight"))
+    report = vacuum(root, min_age_hours=0)
+    assert "data/run=inflight" in report["removed_run_dirs"]

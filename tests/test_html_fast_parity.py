@@ -52,3 +52,19 @@ def test_fast_path_never_crashes_on_garbage(s):
     # No parity requirement on garbage (leniency may differ) — but the fast
     # path must return deterministically without raising.
     assert extract_html_blocks(s) == extract_html_blocks(s)
+
+
+def test_hostile_quote_run_returns_fast():
+    import time
+
+    t0 = time.perf_counter()
+    assert extract_html_blocks("<p " + '"' * 500) == []
+    assert time.perf_counter() - t0 < 1.0  # was exponential backtracking
+
+
+def test_rawtext_after_length_changing_unicode():
+    # 'İ' lowercases to two chars; index math on a lowered copy silently
+    # swallowed content after rawtext elements.
+    frag = ("İ" * 30) + "<script>var x=1;</script><p>" + "Visible paragraph body here. " * 2 + "</p>"
+    fast, std = both(frag)
+    assert fast == std and len(fast) == 1

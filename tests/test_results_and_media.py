@@ -101,3 +101,19 @@ def test_storage_status_echo(tmp_path):
                  "materializes": True, "base_path": str(tmp_path)}
     s = storage_status(NullMediaStore())
     assert s["materializes"] is False and s["base_path"] is None
+
+
+def test_upload_media_kept_only(spark, tmp_path):
+    import os
+
+    docs = [FX.DOC_FILTERED]
+    df = spark.createDataFrame(docs, INPUT_SCHEMA)
+    out = strip_instrumentation(run_extraction(df))
+    base = str(tmp_path / "kept")
+    n = upload_media(df, base, output_df=out)
+    # Only the 3 surviving images upload; the 5 filtered ones never do.
+    assert n == 3
+    uploaded = {f for _, _, fs in os.walk(base) for f in fs}
+    assert uploaded == {media_key(k.encode()).split("/")[-1] for k in FX.KEPT_IMAGE_KEYS}
+    # Superset mode (no output) uploads all 8 candidates.
+    assert upload_media(df, str(tmp_path / "all")) == 8

@@ -88,10 +88,10 @@ def test_upsert_handles_new_and_deleted_docs(spark, tmp_path):
     ids = {x["doc_id"] for x in store.read_output(spark).select("doc_id").collect()}
     for nd in new_docs:
         assert nd["doc_id"] in ids
-    # The dropped doc disappears ONLY if its bucket was rewritten; if its
-    # bucket stayed clean it survives (copy-on-write semantics) — check which.
-    dropped_bucket_dirty = dropped not in ids
-    assert len(ids) == (64 if dropped_bucket_dirty else 65)
+    # Deletion marks the doc's bucket dirty (full-outer diff), so the dropped
+    # doc is gone after the rewrite.
+    assert dropped not in ids
+    assert len(ids) == 64
 
 
 def test_vacuum_after_full_shadowing(spark, tmp_path):
@@ -105,7 +105,7 @@ def test_vacuum_after_full_shadowing(spark, tmp_path):
                n_buckets=2, num_partitions=2, run_id="v2")
     store = SnapshotStore(root)
     assert set(store.committed_buckets().values()) == {"v2"}
-    report = vacuum(root)
+    report = vacuum(root, min_age_hours=0)
     # v1 data fully shadowed → removed; v1 lineage still referenced (history).
     assert "data/run=v1" in report["removed_run_dirs"]
     assert store.read_output(spark).count() == 40
