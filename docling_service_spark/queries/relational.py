@@ -452,3 +452,35 @@ FROM per_session GROUP BY user_id
 
 QUERIES["q17_sessionization"] = q17_sessionization
 ORACLES["q17_sessionization"] = ORACLE_Q17
+
+
+# --- q14: pivot (wide per-entity metrics via conditional aggregation) ------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q14_event_type_pivot(spark, sf_dir):
+    """Events pivoted to one row per user with per-type counts.  Expressed as
+    conditional aggregation (portable, and exactly what Spark's pivot()
+    compiles to after its extra distinct-values job — skipping that job is
+    the scale win when the pivot domain is known)."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("bigint").alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+_pivot_cols = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES
+)
+ORACLE_Q14 = f"""
+SELECT user_id,
+       {_pivot_cols}
+FROM events GROUP BY user_id
+"""
+
+QUERIES["q14_event_type_pivot"] = q14_event_type_pivot
+ORACLES["q14_event_type_pivot"] = ORACLE_Q14
