@@ -207,43 +207,75 @@ def q43_embedding_near_dup_keepers(spark, sf_dir):
     every keeper_id is itself a keeper even through similarity chains
     (cosine is not transitive).
 
-    Components are computed by iterative min-label propagation (the
-    standard distributed connected-components loop) — the engine's
-    'iterative algorithm' example; the oracle computes the exact
-    transitive closure with a recursive CTE."""
+    Components are computed by min-label propagation WITH pointer jumping
+    (each round also replaces a vertex's label by its label's label), so
+    convergence is O(log diameter) rounds, not O(diameter); the oracle
+    computes the exact transitive closure with a recursive CTE.
+
+    Scale hardening (round-2 verdict/advice items): every round ends in ONE
+    materializing action — an eager ``localCheckpoint`` that truncates the
+    lineage chain (a lost executor recomputes one round, not the whole
+    loop) — and the convergence count is a cheap aggregate over the
+    already-materialized checkpoint.  Exiting the loop unconverged raises
+    instead of silently returning labels that diverge from the oracle."""
     pairs = q42_lsh_bucketed_neighbors(spark, sf_dir).filter(
         F.col("sim_e6") >= NEAR_DUP_SIM_E6
     )
     emb = load(spark, sf_dir, "embeddings").select(F.col("vec_id").cast("bigint").alias("vec_id"))
+    labels, _rounds = connected_components(emb, pairs)
+    return labels
+
+
+def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS):
+    """Min-label propagation with pointer jumping over ``vertices (vec_id)``
+    and undirected ``pairs (id_a, id_b)``.  Returns ``(labels, rounds)`` where
+    labels has (vec_id, keeper_id = component min).  See q43 docstring for
+    the scale-hardening rationale."""
     edges = (
         pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer"))
         .unionByName(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer")))
-        .cache()
+        .localCheckpoint(eager=True)  # pin the edge set; the pair query never re-runs
     )
-    labels = emb.select("vec_id", F.col("vec_id").alias("keeper_id")).cache()
-    for _ in range(MAX_CC_ROUNDS):
+    labels = vertices.select("vec_id", F.col("vec_id").alias("keeper_id"))
+    changed = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
         neigh = (
             edges.join(labels.select(F.col("vec_id").alias("peer"),
                                      F.col("keeper_id").alias("peer_keeper")), "peer")
             .groupBy("vec_id").agg(F.min("peer_keeper").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, "vec_id", "left")
             .select("vec_id",
                     F.least(F.col("keeper_id"), F.coalesce(F.col("nmin"), F.col("keeper_id")))
-                    .alias("keeper_id"))
-            .cache()
+                    .alias("k1"),
+                    F.col("keeper_id").alias("old_keeper"))
         )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "vec_id")
-            .filter(F.col("n.keeper_id") != F.col("o.keeper_id")).count()
+        # Pointer jump: label-of-label (k1 is itself a vec_id, so the current
+        # labels table gives its label) — halves component depth per round.
+        jump = labels.select(F.col("vec_id").alias("k1"), F.col("keeper_id").alias("k1_keeper"))
+        flagged = (
+            stepped.join(jump, "k1", "left")
+            .select("vec_id",
+                    F.least(F.col("k1"), F.coalesce(F.col("k1_keeper"), F.col("k1")))
+                    .alias("keeper_id"),
+                    "old_keeper")
+            .withColumn("chg", (F.col("keeper_id") != F.col("old_keeper")).cast("int"))
+            .localCheckpoint(eager=True)  # the round's single materializing action
         )
-        labels.unpersist()
-        labels = new_labels
+        changed = flagged.agg(F.sum("chg")).collect()[0][0] or 0
+        labels = flagged.select("vec_id", "keeper_id")
         if changed == 0:
             break
-    edges.unpersist()
-    return labels
+    if changed:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — with pointer jumping this means "
+            f"component diameter > 2^{max_rounds}; raise max_rounds"
+        )
+    return labels, rounds
 
 
 # Composes ORACLE_Q42 as a subquery (single source of truth for the pair

@@ -1,0 +1,58 @@
+"""Scale guards on the q43 connected-components loop (round-2 verdict item 5
++ advice): pointer jumping converges in O(log diameter) rounds, every round's
+labels are localCheckpoint-materialized (bounded lineage), and non-convergence
+raises instead of silently returning wrong keepers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_service_spark.queries.similarity import connected_components
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+
+def _verts(spark, n):
+    return spark.range(n).select(F.col("id").alias("vec_id"))
+
+
+def test_chain_of_10_converges_logarithmically(spark):
+    # Path graph 0-1-2-...-9: diameter 9.  Plain propagation needs ~9 rounds;
+    # pointer jumping must finish in <= ceil(log2(9)) + 2 = 6.
+    labels, rounds = connected_components(
+        _verts(spark, 10), _pairs(spark, [(i, i + 1) for i in range(9)])
+    )
+    assert rounds <= 6, f"pointer jumping should be O(log diameter), took {rounds}"
+    got = {r.vec_id: r.keeper_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_two_components_and_singletons(spark):
+    labels, _ = connected_components(
+        _verts(spark, 7), _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    )
+    got = {r.vec_id: r.keeper_id for r in labels.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_non_convergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _verts(spark, 40),
+            _pairs(spark, [(i, i + 1) for i in range(39)]),
+            max_rounds=1,
+        )
+
+
+def test_bounded_lineage_via_checkpoint(spark):
+    # The returned labels plan must be rooted at a checkpoint scan, not the
+    # full iterative join chain: lineage depth stays O(1) per round.
+    labels, _ = connected_components(
+        _verts(spark, 10), _pairs(spark, [(i, i + 1) for i in range(9)])
+    )
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    assert "Join" not in plan, f"labels should be checkpoint-rooted, got:\n{plan}"
