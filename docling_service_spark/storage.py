@@ -14,6 +14,7 @@ shapes per ``app/storage/cloudflare_r2.py``).
 from __future__ import annotations
 
 import os
+import uuid
 from typing import Optional, Protocol
 
 
@@ -41,11 +42,15 @@ class LocalMediaStore:
     def put_bytes(self, key: str, payload: bytes) -> str:
         path = self._path(key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
+        # Unique tmp per writer: concurrent jobs uploading the same
+        # content-addressed key must not share a tmp path (a fixed name lets
+        # writer A os.replace a half-written file and writer B's os.replace
+        # then raise FileNotFoundError, failing the Spark task).  Identical
+        # bytes, last rename wins, both succeed.
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "wb") as f:
             f.write(payload)
-        os.replace(tmp, path)  # atomic: concurrent writers of the same
-        # content-addressed key write identical bytes, last rename wins
+        os.replace(tmp, path)
         return key
 
     def exists(self, key: str) -> bool:

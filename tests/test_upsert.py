@@ -88,8 +88,8 @@ def test_upsert_handles_new_and_deleted_docs(spark, tmp_path):
     ids = {x["doc_id"] for x in store.read_output(spark).select("doc_id").collect()}
     for nd in new_docs:
         assert nd["doc_id"] in ids
-    # Deletion marks the doc's bucket dirty (full-outer diff), so the dropped
-    # doc is gone after the rewrite.
+    # Deletion changes the bucket's summary (count+hash-sum), so the dropped
+    # doc is gone after the wholesale rewrite.
     assert dropped not in ids
     assert len(ids) == 64
 
@@ -105,7 +105,12 @@ def test_vacuum_after_full_shadowing(spark, tmp_path):
                n_buckets=2, num_partitions=2, run_id="v2")
     store = SnapshotStore(root)
     assert set(store.committed_buckets().values()) == {"v2"}
+    # With keep_manifests=10 the parent manifest still references v1, so
+    # its data stays live (retained manifests are rollback-usable, not
+    # audit-only); nothing is removed.
     report = vacuum(root, min_age_hours=0)
-    # v1 data fully shadowed → removed; v1 lineage still referenced (history).
+    assert "data/run=v1" not in report["removed_run_dirs"]
+    # Expiring the parent manifest (keep only CURRENT) frees the shadowed run.
+    report = vacuum(root, min_age_hours=0, keep_manifests=1)
     assert "data/run=v1" in report["removed_run_dirs"]
     assert store.read_output(spark).count() == 40
