@@ -1,9 +1,12 @@
 """Deterministic synthetic corpus of interleaved-span documents.
 
-Three document families (FIXTURES.md §1): HTML-like (boilerplate + main
-content), PDF-like (positioned blocks, tables, images — content plan modeled
-on the reference's golden generator ``test_pdf_generator.py:71-219``), and
-mixed.  Generation is a pure function of ``(doc index, seed)`` so the corpus
+Five document families mirroring the reference's upload whitelist
+(``app/main.py:1072-1079``: .pdf/.docx/.xlsx/.pptx plus the HTML ingest
+path): HTML-like (boilerplate + main content), PDF-like (positioned blocks,
+tables, images — content plan modeled on the reference's golden generator
+``test_pdf_generator.py:71-219``), mixed, spreadsheet-like (sheets of cell
+grids, no geometry), and slide-like (placeholder-ordered slide blocks, one
+page per slide).  Generation is a pure function of ``(doc index, seed)`` so the corpus
 can be materialized *inside Spark executors* (no driver-side collect) and is
 identical at any partitioning — the property the repartition-invariance tests
 rely on.
@@ -177,6 +180,56 @@ def _pdf_doc_blocks(rng: random.Random, n_pages: int, blocks_per_page: int) -> l
 
 
 # ---------------------------------------------------------------------------
+# Spreadsheet family (.xlsx analog: sheets of cell grids, no geometry)
+# ---------------------------------------------------------------------------
+
+def _sheet_doc_spans(rng: random.Random, n_sheets: int) -> list[dict]:
+    spans = []
+    for s in range(1, n_sheets + 1):
+        n_rows = rng.randint(3, 8)
+        n_cols = rng.randint(2, 5)
+        header = [_words(rng, 1) for _ in range(n_cols)]
+        cells = [header] + [
+            [str(rng.randint(0, 9999)) for _ in range(n_cols)] for _ in range(n_rows)
+        ]
+        payload = json.dumps({"name": _words(rng, 2).title(), "cells": cells}, sort_keys=True)
+        spans.append({"kind": "sheet_grid", "text": payload,
+                      "media_ref": f"sheet={s}", "offset": 0})
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Slide family (.pptx analog: slides are pages, placeholder-ordered blocks)
+# ---------------------------------------------------------------------------
+
+SLIDE_W, SLIDE_H = 720.0, 540.0  # 10x7.5in at 72dpi, the default pptx canvas
+
+
+def _slide_doc_spans(rng: random.Random, n_slides: int) -> list[dict]:
+    spans = [
+        {"kind": "page_dims", "text": "", "media_ref": f"{s},{SLIDE_W},{SLIDE_H}", "offset": 0}
+        for s in range(1, n_slides + 1)
+    ]
+    for s in range(1, n_slides + 1):
+        order = 0
+        spans.append({"kind": "slide_block", "text": _words(rng, 4).title(),
+                      "media_ref": f"slide={s},{order},title", "offset": 0})
+        order += 1
+        if rng.random() < 0.3:
+            spans.append({"kind": "slide_block", "text": _words(rng, 5).title(),
+                          "media_ref": f"slide={s},{order},subtitle", "offset": 0})
+            order += 1
+        for _ in range(rng.randint(2, 6)):
+            spans.append({"kind": "slide_block", "text": _sentence(rng),
+                          "media_ref": f"slide={s},{order},bullet", "offset": 0})
+            order += 1
+        if rng.random() < 0.4:
+            spans.append({"kind": "slide_block", "text": _paragraph(rng),
+                          "media_ref": f"slide={s},{order},notes", "offset": 0})
+    return spans
+
+
+# ---------------------------------------------------------------------------
 # Public corpus API
 # ---------------------------------------------------------------------------
 
@@ -186,7 +239,7 @@ def build_doc(idx: int, seed: int = 42, *,
     """Build document ``idx`` deterministically.  Returns {doc_id, spans}."""
     rng = random.Random(f"{seed}:{idx}")
     doc_id = f"doc-{seed}-{idx:08d}"
-    family = idx % 3
+    family = idx % 5
     oversized = oversize_every and idx > 0 and idx % oversize_every == 0
     scale = oversize_factor if oversized else 1
 
@@ -201,9 +254,13 @@ def build_doc(idx: int, seed: int = 42, *,
         spans = _html_doc_spans(rng, n_fragments=max(1, scale // 4) if oversized else 1)
     elif family == 1:
         spans = _pdf_doc_blocks(rng, n_pages=rng.randint(2, 6) * scale, blocks_per_page=rng.randint(18, 30))
-    else:
+    elif family == 2:
         spans = _pdf_doc_blocks(rng, n_pages=max(2, scale), blocks_per_page=rng.randint(12, 24))
         spans += _html_doc_spans(rng, n_fragments=1)
+    elif family == 3:
+        spans = _sheet_doc_spans(rng, n_sheets=rng.randint(1, 4) * scale)
+    else:
+        spans = _slide_doc_spans(rng, n_slides=rng.randint(4, 12) * scale)
 
     # Scramble input order (page_dims first to keep parsing simple), then
     # assign strictly increasing offsets — reading order must be recovered

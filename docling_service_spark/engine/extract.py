@@ -27,8 +27,19 @@ from . import geometry as G
 from .fastjson import dumps_indent2
 from .html_extract import extract_html_blocks
 
-RAW_KINDS = frozenset(["html", "text_block", "table_block", "image", "page_dims", "page_break"])
+RAW_KINDS = frozenset(["html", "text_block", "table_block", "image", "page_dims", "page_break",
+                       "sheet_grid", "slide_block"])
 TEXT_ROLES = frozenset(["text", "heading", "list_item", "code", "caption"])
+
+# Slide placeholder role → (output block kind, heading level).  Mirrors the
+# reference's .pptx handling (whitelist app/main.py:1072-1079): docling maps
+# slide titles to headings and body placeholders to list items.
+SLIDE_ROLE_MAP = {
+    "title": ("heading", 2),
+    "subtitle": ("heading", 3),
+    "bullet": ("list_item", 0),
+    "notes": ("text", 0),
+}
 
 
 class _Block:
@@ -98,6 +109,32 @@ def _collect_blocks(spans: list[dict], pages: dict[int, tuple[float, float]]) ->
             ph = pages.get(box.page, (None, None))[1]
             key = (box.page, G.y_from_top(box, ph), box.x, off, 0)
             blocks.append(_Block(key, "image", text, 0, box, (px_w, px_h, content_key)))
+        elif kind == "sheet_grid":
+            # Spreadsheet family (.xlsx analog): each sheet is a logical page
+            # holding a named grid-of-cells, routed through the same table
+            # path as positioned PDF tables.  Sheets carry no geometry, so
+            # the table box is zeroed and page dims stay undeclared (no page
+            # markers in pure spreadsheet docs — matching a sheet-by-sheet
+            # markdown rendering).
+            sheet_no = G.parse_sheet_ref(ref)
+            try:
+                payload = json.loads(text)
+                cells = payload["cells"]
+                name = payload.get("name")
+            except (json.JSONDecodeError, TypeError, KeyError) as exc:
+                raise G.MediaRefError(f"malformed sheet_grid payload: {exc}") from exc
+            if name:
+                blocks.append(_Block((sheet_no, -1.0, 0.0, off, 0), "heading", str(name), 2))
+            box = G.BBox(page=sheet_no, x=0.0, y=0.0, width=0.0, height=0.0,
+                         coord_origin=G.TOPLEFT)
+            blocks.append(_Block((sheet_no, 0.0, 0.0, off, 1), "table", "", 0, box,
+                                 (cells, payload.get("caption"))))
+        elif kind == "slide_block":
+            # Slide family (.pptx analog): slides are pages; blocks order by
+            # placeholder order within the slide, not free geometry.
+            slide_no, order, role = G.parse_slide_ref(ref)
+            out_kind, level = SLIDE_ROLE_MAP[role]
+            blocks.append(_Block((slide_no, float(order), 0.0, off, 0), out_kind, text, level))
         else:
             raise G.MediaRefError(f"unknown raw span kind {kind!r}")
     return blocks

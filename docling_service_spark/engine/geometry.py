@@ -7,6 +7,8 @@ Raw-span media_ref encodings (the corpus wire format, FIXTURES.md §1):
 - ``table_block``: ``"{page},{x},{y},{w},{h},{origin}"``
 - ``image``:       ``"{page},{x},{y},{w},{h},{origin},{px_w},{px_h},{content_key}"``
 - ``html``:        ``"page={n}"`` or ``""``
+- ``sheet_grid``:  ``"sheet={n}"`` (spreadsheet family; text = JSON grid)
+- ``slide_block``: ``"slide={n},{order},{role}"`` (slide family)
 
 ``origin`` is ``TOPLEFT`` or ``BOTTOMLEFT``.  ``y`` is the coordinate of the
 **top edge** of the box expressed in the native origin — this mirrors docling
@@ -78,6 +80,50 @@ def parse_table_block_ref(media_ref: str) -> BBox:
     if len(parts) != 6:
         raise MediaRefError(f"table_block media_ref needs 6 fields: {media_ref!r}")
     return _parse_box(parts)
+
+
+def parse_sheet_ref(media_ref: str) -> int:
+    """``sheet_grid`` media_ref: ``"sheet={n}"`` (1-based sheet index).
+
+    Spreadsheet documents (reference whitelist ``.xlsx``, app/main.py:1072-1079)
+    carry no geometry: each sheet is a logical page whose content is one
+    grid-of-cells table."""
+    if not media_ref.startswith("sheet="):
+        raise MediaRefError(f"sheet_grid media_ref must be 'sheet=N': {media_ref!r}")
+    try:
+        n = int(media_ref[len("sheet="):])
+    except ValueError as exc:
+        raise MediaRefError(f"bad sheet index in {media_ref!r}") from exc
+    if n < 1:
+        raise MediaRefError(f"sheet index must be >= 1: {media_ref!r}")
+    return n
+
+
+SLIDE_ROLES = ("title", "subtitle", "bullet", "notes")
+
+
+def parse_slide_ref(media_ref: str) -> tuple[int, int, str]:
+    """``slide_block`` media_ref: ``"slide={n},{order},{role}"``.
+
+    Slide documents (reference whitelist ``.pptx``): each slide is a page;
+    ``order`` is the placeholder order within the slide (title box, body
+    placeholders, notes) — slide layouts are ordered by placeholder, not by
+    free geometry."""
+    if not media_ref.startswith("slide="):
+        raise MediaRefError(f"slide_block media_ref must be 'slide=N,order,role': {media_ref!r}")
+    parts = media_ref[len("slide="):].split(",")
+    if len(parts) != 3:
+        raise MediaRefError(f"slide_block media_ref needs 3 fields: {media_ref!r}")
+    try:
+        n, order = int(parts[0]), int(parts[1])
+    except ValueError as exc:
+        raise MediaRefError(f"bad slide/order in {media_ref!r}") from exc
+    role = parts[2]
+    if n < 1:
+        raise MediaRefError(f"slide index must be >= 1: {media_ref!r}")
+    if role not in SLIDE_ROLES:
+        raise MediaRefError(f"unknown slide role {role!r}")
+    return n, order, role
 
 
 def parse_image_ref(media_ref: str) -> tuple[BBox, int, int, str]:

@@ -89,13 +89,118 @@ FROM norm
 """
 
 
+def q62_extract_spreadsheet(spark, sf_dir):
+    """documents → one-sheet workbook (JVM to_json grid) → real sheet_grid
+    extraction path → (sheet heading, rendered grid, table metadata).
+
+    Exercises the spreadsheet family (reference whitelist .xlsx,
+    app/main.py:1072-1079) end-to-end with exact value parity: the oracle
+    predicts the extractor's markdown rendering from first principles."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).cast("string")
+    cells = F.array(
+        F.array(F.lit("doc"), F.lit("lang"), F.lit("n_tokens")),
+        F.array(F.col("doc_id").cast("string"), F.col("lang"), ntok),
+    )
+    payload = F.to_json(F.struct(
+        F.concat(F.lit("Sheet "), F.col("lang")).alias("name"),
+        cells.alias("cells"),
+    ))
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("sheet_grid").alias("kind"),
+            payload.alias("text"),
+            F.lit("sheet=1").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )).alias("spans"),
+    )
+    out = strip_instrumentation(run_extraction(corpus))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "status",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.element_at("spans", 1)["text"].alias("sheet_name"),
+        F.element_at("spans", 2)["text"].alias("table_md"),
+        F.element_at("tables", 1)["num_rows"].cast("bigint").alias("num_rows"),
+        F.element_at("tables", 1)["num_cols"].cast("bigint").alias("num_cols"),
+    )
+
+
+ORACLE_Q62 = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS VARCHAR) AS n
+  FROM documents)
+SELECT doc_id, 'completed' AS status, CAST(2 AS BIGINT) AS n_spans,
+       'Sheet ' || lang AS sheet_name,
+       '| doc | lang | n_tokens |' || chr(10) || '|---|---|---|' || chr(10) ||
+         '| ' || CAST(doc_id AS VARCHAR) || ' | ' || lang || ' | ' || n || ' |' AS table_md,
+       CAST(2 AS BIGINT) AS num_rows, CAST(3 AS BIGINT) AS num_cols
+FROM t
+"""
+
+
+def q63_extract_slides(spark, sf_dir):
+    """documents → two-slide deck (title/bullet/notes placeholders) → real
+    slide_block extraction path → per-slide page markers + ordered blocks.
+
+    Slide family (reference whitelist .pptx): slides are pages with declared
+    dims, blocks order by placeholder order."""
+    docs = load(spark, sf_dir, "documents")
+
+    def span(kind, text_col, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"), text_col.alias("text"),
+            F.lit(ref).alias("media_ref"), F.lit(off).cast("int").alias("offset"),
+        )
+
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            span("page_dims", F.lit(""), "1,720.0,540.0", 0),
+            span("page_dims", F.lit(""), "2,720.0,540.0", 1),
+            span("slide_block", F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
+                 "slide=1,0,title", 2),
+            span("slide_block", F.substring("text", 1, 40), "slide=1,1,bullet", 3),
+            span("slide_block", F.lit("Summary"), "slide=2,0,title", 4),
+            span("slide_block", F.col("lang"), "slide=2,1,notes", 5),
+        ).alias("spans"),
+    )
+    out = strip_instrumentation(run_extraction(corpus))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "status",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.element_at("spans", 2)["text"].alias("title_text"),
+        F.element_at("spans", 3)["text"].alias("bullet_text"),
+        F.element_at("spans", 6)["text"].alias("notes_text"),
+        F.size("pages").cast("bigint").alias("n_pages"),
+    )
+
+
+ORACLE_Q63 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'completed' AS status,
+       CAST(6 AS BIGINT) AS n_spans,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title_text,
+       substr(text, 1, 40) AS bullet_text,
+       lang AS notes_text,
+       CAST(2 AS BIGINT) AS n_pages
+FROM documents
+"""
+
+
 EXTRACTION_QUERIES = {
     "q60_extract_corpus": q60_extract_corpus,
     "q61_extract_html_docs": q61_extract_html_docs,
+    "q62_extract_spreadsheet": q62_extract_spreadsheet,
+    "q63_extract_slides": q63_extract_slides,
 }
 
 # q60 is intentionally oracle-less (full custom dataflow); the driver records
 # the weaker rows-only check for it.
 EXTRACTION_ORACLES = {
     "q61_extract_html_docs": ORACLE_Q61,
+    "q62_extract_spreadsheet": ORACLE_Q62,
+    "q63_extract_slides": ORACLE_Q63,
 }

@@ -225,3 +225,74 @@ GOLDEN_LEFT_ONLY_TEXTS = [
     "Left column second paragraph.",
     "Full-width closing paragraph.",
 ]
+
+
+# --- doc_workbook (spreadsheet family: sheet_grid spans) -------------------------
+
+S1 = [["region", "units", "revenue"],
+      ["north", "120", "2400"],
+      ["south", "80", "1600"]]
+S2 = [["quarter", "margin"],
+      ["Q1", "0.31"],
+      ["Q2", "0.28"],
+      ["Q3", "0.35"]]
+
+_WB_BLOCKS = [
+    {"kind": "sheet_grid", "media_ref": "sheet=1", "offset": 0,
+     "text": json.dumps({"name": "Sales", "cells": S1}, sort_keys=True)},
+    {"kind": "sheet_grid", "media_ref": "sheet=2", "offset": 0,
+     "text": json.dumps({"name": "Margins", "cells": S2}, sort_keys=True)},
+]
+# Scrambled: sheet 2 arrives first — reading order must recover sheet order.
+DOC_WORKBOOK = {
+    "doc_id": "fixture-workbook",
+    "spans": [dict(_WB_BLOCKS[i], offset=n) for n, i in enumerate([1, 0])],
+}
+
+# No page_dims → no page markers; each sheet renders name-heading then grid.
+GOLDEN_WORKBOOK_SPANS = [
+    ("heading", "Sales", ""),
+    ("table", md_table(S1), ""),
+    ("heading", "Margins", ""),
+    ("table", md_table(S2), ""),
+]
+
+
+# --- doc_deck (slide family: slide_block spans, one page per slide) --------------
+
+SLIDE_W, SLIDE_H = 720.0, 540.0
+
+
+def _slide(n, order, role, text):
+    return {"kind": "slide_block", "text": text,
+            "media_ref": f"slide={n},{order},{role}", "offset": 0}
+
+
+_DECK_BLOCKS = [
+    {"kind": "page_dims", "text": "", "media_ref": f"1,{SLIDE_W},{SLIDE_H}", "offset": 0},
+    {"kind": "page_dims", "text": "", "media_ref": f"2,{SLIDE_W},{SLIDE_H}", "offset": 0},
+    _slide(1, 0, "title", "Quarterly Review"),
+    _slide(1, 1, "subtitle", "Engineering All Hands"),
+    _slide(1, 2, "bullet", "Throughput is up."),
+    _slide(1, 3, "bullet", "Latency is down."),
+    _slide(2, 0, "title", "Roadmap"),
+    _slide(2, 1, "bullet", "Ship the new engine."),
+    _slide(2, 2, "notes", "Speaker notes: keep this slide short."),
+]
+_DECK_PERM = [0, 1, 6, 3, 8, 2, 5, 7, 4]
+DOC_DECK = {
+    "doc_id": "fixture-deck",
+    "spans": [dict(_DECK_BLOCKS[i], offset=n) for n, i in enumerate(_DECK_PERM)],
+}
+
+GOLDEN_DECK_SPANS = [
+    ("page_marker", "<!-- Page 1 -->", ""),
+    ("heading", "Quarterly Review", ""),
+    ("heading", "Engineering All Hands", ""),
+    ("list_item", "Throughput is up.", ""),
+    ("list_item", "Latency is down.", ""),
+    ("page_marker", "<!-- Page 2 -->", ""),
+    ("heading", "Roadmap", ""),
+    ("list_item", "Ship the new engine.", ""),
+    ("text", "Speaker notes: keep this slide short.", ""),
+]

@@ -146,3 +146,53 @@ def test_two_column_reading_order():
 def test_single_column_page_not_affected_by_column_rule():
     r = extract_document(FX.DOC_LEFT_ONLY["doc_id"], FX.DOC_LEFT_ONLY["spans"])
     assert [s["text"] for s in r["spans"]] == FX.GOLDEN_LEFT_ONLY_TEXTS
+
+
+# --- spreadsheet / slide families (round-2: reference whitelist parity) ----------
+
+def test_workbook_golden_sequence():
+    r = extract_document(FX.DOC_WORKBOOK["doc_id"], FX.DOC_WORKBOOK["spans"])
+    assert r["status"] == "completed"
+    assert seq(r) == FX.GOLDEN_WORKBOOK_SPANS
+    assert [s["offset"] for s in r["spans"]] == list(range(len(FX.GOLDEN_WORKBOOK_SPANS)))
+
+
+def test_workbook_table_metadata():
+    r = extract_document(FX.DOC_WORKBOOK["doc_id"], FX.DOC_WORKBOOK["spans"])
+    assert [t["id"] for t in r["tables"]] == ["table-1", "table-2"]
+    assert [(t["num_rows"], t["num_cols"]) for t in r["tables"]] == [(3, 3), (4, 2)]
+    # Sheets carry no geometry: zeroed box, no page dims, no page markers.
+    assert r["tables"][0]["x"] == 0.0 and r["tables"][0]["width"] == 0.0
+    assert r["pages"] == []
+    assert "<!-- Page" not in r["markdown"]
+    assert r["markdown"].startswith("## Sales")
+
+
+def test_deck_golden_sequence():
+    r = extract_document(FX.DOC_DECK["doc_id"], FX.DOC_DECK["spans"])
+    assert r["status"] == "completed"
+    assert seq(r) == FX.GOLDEN_DECK_SPANS
+
+
+def test_deck_markdown_and_pages():
+    r = extract_document(FX.DOC_DECK["doc_id"], FX.DOC_DECK["spans"])
+    md = r["markdown"]
+    assert md.index("<!-- Page 1 -->") < md.index("## Quarterly Review")
+    assert "### Engineering All Hands" in md
+    assert "- Throughput is up." in md
+    assert r["pages"] == [
+        {"page": 1, "width": FX.SLIDE_W, "height": FX.SLIDE_H},
+        {"page": 2, "width": FX.SLIDE_W, "height": FX.SLIDE_H},
+    ]
+
+
+def test_sheet_and_slide_malformed_refs_fail():
+    bad_sheet = {"kind": "sheet_grid", "text": "{not json", "media_ref": "sheet=1", "offset": 0}
+    with pytest.raises(MediaRefError):
+        extract_document("d", [bad_sheet])
+    bad_ref = {"kind": "sheet_grid", "text": "{}", "media_ref": "tab=1", "offset": 0}
+    with pytest.raises(MediaRefError):
+        extract_document("d", [bad_ref])
+    bad_role = {"kind": "slide_block", "text": "x", "media_ref": "slide=1,0,shout", "offset": 0}
+    with pytest.raises(MediaRefError):
+        extract_document("d", [bad_role])
