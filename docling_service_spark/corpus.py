@@ -233,10 +233,24 @@ def _slide_doc_spans(rng: random.Random, n_slides: int) -> list[dict]:
 # Public corpus API
 # ---------------------------------------------------------------------------
 
+def source_meta(idx: int, doc_id: str) -> dict:
+    """Deterministic ingestion metadata (reference ConversionSource,
+    app/main.py:44-51): every 4th doc arrives by URL, the rest are uploads
+    with an original filename."""
+    exts = [".pdf", ".html", ".xlsx", ".pptx"]
+    if idx % 4 == 0:
+        return {"kind": "url", "value": f"https://example.org/docs/{idx}{exts[idx % 4]}",
+                "original_name": None}
+    return {"kind": "upload", "value": f"{doc_id}{exts[idx % 4]}",
+            "original_name": f"report-{idx}{exts[idx % 4]}"}
+
+
 def build_doc(idx: int, seed: int = 42, *,
               oversize_every: int = 97, oversize_factor: int = 40,
-              malformed_every: Optional[int] = 211) -> dict:
-    """Build document ``idx`` deterministically.  Returns {doc_id, spans}."""
+              malformed_every: Optional[int] = 211,
+              include_source: bool = False) -> dict:
+    """Build document ``idx`` deterministically.  Returns {doc_id, spans}
+    (plus ``source`` when ``include_source``)."""
     rng = random.Random(f"{seed}:{idx}")
     doc_id = f"doc-{seed}-{idx:08d}"
     family = idx % 5
@@ -248,7 +262,10 @@ def build_doc(idx: int, seed: int = 42, *,
             {"kind": "text_block", "text": "ok", "media_ref": "1,72,700,100,20,TOPLEFT,text", "offset": 0},
             {"kind": "image", "text": "bad", "media_ref": "not,a,valid,ref", "offset": 1},
         ]
-        return {"doc_id": doc_id, "spans": spans}
+        doc = {"doc_id": doc_id, "spans": spans}
+        if include_source:
+            doc["source"] = source_meta(idx, doc_id)
+        return doc
 
     if family == 0:
         spans = _html_doc_spans(rng, n_fragments=max(1, scale // 4) if oversized else 1)
@@ -271,7 +288,10 @@ def build_doc(idx: int, seed: int = 42, *,
     ordered = dims + rest
     for i, s in enumerate(ordered):
         s["offset"] = i
-    return {"doc_id": doc_id, "spans": ordered}
+    doc = {"doc_id": doc_id, "spans": ordered}
+    if include_source:
+        doc["source"] = source_meta(idx, doc_id)
+    return doc
 
 
 def make_corpus(n_docs: int, seed: int = 42, **kwargs) -> list[dict]:
@@ -280,23 +300,30 @@ def make_corpus(n_docs: int, seed: int = 42, **kwargs) -> list[dict]:
 
 
 def corpus_df(spark, n_docs: int, seed: int = 42, partitions: Optional[int] = None,
-              include_malformed: bool = True):
+              include_malformed: bool = True, include_source: bool = False):
     """Distributed corpus: generated inside executors via mapInArrow.
 
     ``spark.range`` scales to any n_docs without driver materialization —
     at 10^12 ids this is the same pattern, just a bigger range.
+    ``include_source`` adds the optional ingestion-metadata column (see
+    source_meta); extra input columns flow through extraction untouched.
     """
     import pyarrow as pa
 
-    from .schemas import INPUT_ARROW
+    from .schemas import INPUT_ARROW, SOURCE_ARROW
 
     malformed_every = 211 if include_malformed else None
+    fields = list(INPUT_ARROW) + ([pa.field("source", SOURCE_ARROW)] if include_source else [])
+    ddl = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    if include_source:
+        ddl += ", source struct<kind:string,value:string,original_name:string>"
 
     def gen(batches):
         for batch in batches:
             ids = batch.column("id").to_pylist()
-            docs = [build_doc(i, seed, malformed_every=malformed_every) for i in ids]
-            yield pa.RecordBatch.from_pylist(docs, schema=pa.schema(list(INPUT_ARROW)))
+            docs = [build_doc(i, seed, malformed_every=malformed_every,
+                              include_source=include_source) for i in ids]
+            yield pa.RecordBatch.from_pylist(docs, schema=pa.schema(fields))
 
     rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
-    return rng_df.mapInArrow(gen, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    return rng_df.mapInArrow(gen, ddl)

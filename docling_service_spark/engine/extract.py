@@ -259,11 +259,17 @@ def _metadata_block(images: list[dict], tables: list[dict], pages_list: list[dic
     return f"\n\n---\n\n<!-- DOCLING_METADATA_START -->\n```json\n{json_str}\n```\n<!-- DOCLING_METADATA_END -->\n"
 
 
-def extract_document(doc_id: str, spans: Optional[list[dict]]) -> dict:
+def extract_document(doc_id: str, spans: Optional[list[dict]],
+                     source: Optional[dict] = None) -> dict:
     """Extract one document.  Returns an OUTPUT_SCHEMA-shaped dict.
 
     Raises on malformed input; the Spark shell converts exceptions into
     ``status='failed'`` rows (mirrors reference app/main.py:338-345).
+
+    ``source`` is optional ingestion metadata (reference ConversionSource,
+    app/main.py:44-51): upload-kind docs stamp their original filename into
+    the metadata block, url-kind docs their URL; absent → doc_id (so the
+    no-source output is byte-identical to before).
     """
     if spans is None:
         raise ValueError("document has no spans")
@@ -389,11 +395,15 @@ def extract_document(doc_id: str, spans: Optional[list[dict]]) -> dict:
     pages_list = [
         {"page": p, "width": w, "height": h} for p, (w, h) in sorted(pages.items())
     ]
+    source_filename = doc_id
+    if source:
+        # upload → original filename; url → the URL (app/main.py:1099-1105).
+        source_filename = source.get("original_name") or source.get("value") or doc_id
     doc_meta = {
         "total_pages": len(pages_list),
         "total_images": len(images_meta),
         "total_tables": len(tables_meta),
-        "source_filename": doc_id,
+        "source_filename": source_filename,
         # Deterministic engine: wall time is a run-level metric (lineage table),
         # never a per-row value; reference stores it per task (app/main.py:317).
         "processing_time_ms": None,

@@ -30,6 +30,30 @@ INPUT_SCHEMA = T.StructType(
     ]
 )
 
+# Optional ingestion metadata (reference ConversionSource, app/main.py:44-51:
+# kind 'upload'|'url', value = filename-or-URL, original_name).  Extra input
+# columns flow through the Arrow batches untouched; the kernel reads `source`
+# when present and stamps source_filename in the metadata block.
+SOURCE_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("original_name", T.StringType()),
+    ]
+)
+
+INPUT_SCHEMA_WITH_SOURCE = T.StructType(
+    list(INPUT_SCHEMA) + [T.StructField("source", SOURCE_STRUCT)]
+)
+
+SOURCE_ARROW = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("value", pa.string()),
+        pa.field("original_name", pa.string()),
+    ]
+)
+
 SPAN_ARROW = pa.struct(
     [
         pa.field("kind", pa.string()),
@@ -179,6 +203,7 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("doc_count", T.LongType()),
         T.StructField("bytes", T.LongType()),
         T.StructField("parse_failures", T.LongType()),
+        T.StructField("rejected", T.LongType()),
         T.StructField("wall_ms", T.LongType()),
     ]
 )

@@ -44,6 +44,16 @@ INSTRUMENTATION_COLS = ["_pid", "_bytes", "_wall_ms", "_bucket", "_input_hash"]
 PASSTHROUGH_COLS = ["_bucket", "_input_hash"]
 
 
+# Oversized-document cap — the reference rejects uploads > 25 MiB with a 400
+# before any conversion work (app/config.py:14 max_upload_size,
+# app/main.py:1083-1087).  The batch analog: a doc whose total span payload
+# exceeds the cap is routed to a status='rejected' row WITHOUT running the
+# extractor (the size check reuses the instrumentation byte count, so the
+# reject path costs O(bytes-scan), not O(extraction)), and rejects are
+# counted per-partition in lineage.
+MAX_DOC_BYTES = 25 * 1024 * 1024
+
+
 def _failed_row(doc_id: str, exc: Exception) -> dict:
     # Mirrors the reference's catch-all per-task failure path
     # (app/main.py:338-345): record detail, never kill the job.
@@ -59,6 +69,21 @@ def _failed_row(doc_id: str, exc: Exception) -> dict:
     }
 
 
+def _rejected_row(doc_id: str, nbytes: int, cap: int) -> dict:
+    # Reference 400 message shape: "File too large. Maximum size is 25MB"
+    # (app/main.py:1085-1087).
+    return {
+        "doc_id": doc_id,
+        "spans": None,
+        "images": None,
+        "tables": None,
+        "pages": None,
+        "markdown": None,
+        "status": "rejected",
+        "detail": f"document too large ({nbytes} bytes > {cap} byte cap)",
+    }
+
+
 def _span_bytes(spans) -> int:
     if not spans:
         return 0
@@ -70,38 +95,50 @@ def _span_bytes(spans) -> int:
     return total
 
 
-def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """mapInArrow kernel.  Pure w.r.t. row content; safe under task retry."""
-    try:
-        from pyspark import TaskContext
+def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES):
+    """Build the mapInArrow kernel with an oversized-doc cap (see
+    MAX_DOC_BYTES).  Pure w.r.t. row content; safe under task retry."""
 
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
-    except Exception:  # pragma: no cover - outside Spark
-        pid = -1
+    def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        try:
+            from pyspark import TaskContext
 
-    schema = pa.schema(list(OUTPUT_ARROW_INSTRUMENTED))
-    for batch in batches:
-        t0 = time.perf_counter()
-        have_passthrough = "_bucket" in batch.schema.names
-        out_rows: list[dict] = []
-        for row in batch.to_pylist():
-            doc_id = row["doc_id"]
-            spans = row["spans"]
-            try:
-                res = extract_document(doc_id, spans)
-            except Exception as exc:  # noqa: BLE001 — per-doc failure isolation
-                res = _failed_row(doc_id, exc)
-            res["_pid"] = pid
-            res["_bytes"] = _span_bytes(spans)
-            res["_wall_ms"] = 0
-            res["_bucket"] = row.get("_bucket") if have_passthrough else None
-            res["_input_hash"] = row.get("_input_hash") if have_passthrough else None
-            out_rows.append(res)
-        if out_rows:
-            out = pa.RecordBatch.from_pylist(out_rows, schema=schema)
-            # Batch wall includes the Arrow decode/encode, not just the
-            # extractor — lineage wall_ms is the true Python-stage cost.
-            wall = pa.array([int((time.perf_counter() - t0) * 1000)] + [0] * (len(out_rows) - 1),
-                            type=pa.int64())
-            yield out.set_column(out.schema.get_field_index("_wall_ms"), "_wall_ms", wall)
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else -1
+        except Exception:  # pragma: no cover - outside Spark
+            pid = -1
+
+        schema = pa.schema(list(OUTPUT_ARROW_INSTRUMENTED))
+        for batch in batches:
+            t0 = time.perf_counter()
+            have_passthrough = "_bucket" in batch.schema.names
+            out_rows: list[dict] = []
+            for row in batch.to_pylist():
+                doc_id = row["doc_id"]
+                spans = row["spans"]
+                nbytes = _span_bytes(spans)
+                if nbytes > max_doc_bytes:
+                    res = _rejected_row(doc_id, nbytes, max_doc_bytes)
+                else:
+                    try:
+                        res = extract_document(doc_id, spans, row.get("source"))
+                    except Exception as exc:  # noqa: BLE001 — per-doc failure isolation
+                        res = _failed_row(doc_id, exc)
+                res["_pid"] = pid
+                res["_bytes"] = nbytes
+                res["_wall_ms"] = 0
+                res["_bucket"] = row.get("_bucket") if have_passthrough else None
+                res["_input_hash"] = row.get("_input_hash") if have_passthrough else None
+                out_rows.append(res)
+            if out_rows:
+                out = pa.RecordBatch.from_pylist(out_rows, schema=schema)
+                # Batch wall includes the Arrow decode/encode, not just the
+                # extractor — lineage wall_ms is the true Python-stage cost.
+                wall = pa.array([int((time.perf_counter() - t0) * 1000)] + [0] * (len(out_rows) - 1),
+                                type=pa.int64())
+                yield out.set_column(out.schema.get_field_index("_wall_ms"), "_wall_ms", wall)
+
+    return extract_batches
+
+
+extract_batches = make_extract_kernel()

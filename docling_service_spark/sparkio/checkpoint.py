@@ -45,7 +45,7 @@ from .batch import INSTRUMENTED_DDL
 from .pipeline import derive_lineage, run_extraction, strip_instrumentation
 
 LINEAGE_DDL = ("run_id string, snapshot_id bigint, partition_id int, doc_count bigint, "
-               "bytes bigint, parse_failures bigint, wall_ms bigint")
+               "bytes bigint, parse_failures bigint, rejected bigint, wall_ms bigint")
 
 
 class SnapshotConflictError(RuntimeError):
@@ -205,6 +205,19 @@ class SnapshotStore:
             df = df.unionByName(p)
         return df if instrumented else strip_instrumentation(df)
 
+    def live_doc_count(self) -> Optional[int]:
+        """Docs in the current snapshot from manifest bucket summaries alone —
+        O(manifest), no data scan (job reporting used to pay a full
+        column-pruned table scan per run for this number).  None when any
+        committed bucket predates summary support (fall back to counting)."""
+        m = self.current_manifest()
+        if not m:
+            return 0
+        sums = m.get("bucket_sums") or {}
+        if not all(b in sums for b in m["buckets"]):
+            return None
+        return sum(sums[b][0] for b in m["buckets"])
+
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         m = self.current_manifest()
         runs = m["lineage_runs"] if m else []
@@ -296,12 +309,18 @@ def run_incremental(
     max_buckets_per_run: Optional[int] = None,
     num_partitions: Optional[int] = None,
     run_id: Optional[str] = None,
+    on_complete=None,
+    max_doc_bytes: Optional[int] = None,
 ) -> dict:
     """One incremental run: process uncommitted buckets, commit a snapshot.
 
     Returns a summary dict.  Re-running after success is a no-op; re-running
     after a crash resumes from the last committed snapshot (exactly-once doc
     coverage — tested in tests/test_checkpoint.py).
+
+    ``on_complete`` is the post-commit hook (webhook analog, see
+    notify_completion): called with the summary + status after commit /
+    no-op, and with status='failed' + detail before the exception re-raises.
     """
     store = SnapshotStore(root)
     store.check_n_buckets(n_buckets)
@@ -311,7 +330,9 @@ def run_incremental(
     if max_buckets_per_run is not None:
         todo = todo[:max_buckets_per_run]
     if not todo:
-        return {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
+        summary = {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
+        notify_completion(on_complete, {**summary, "status": "noop", "detail": None})
+        return summary
 
     prepared = prepare_input(input_df, n_buckets)
     # Bucket-set membership is the scalable resume predicate (O(manifest) and
@@ -319,9 +340,27 @@ def run_incremental(
     if len(todo) < n_buckets:
         prepared = prepared.filter(F.col("_bucket").isin([int(b) for b in todo]))
 
-    return _process_and_commit(spark, store, prepared, root, todo, run_id,
-                               num_partitions=num_partitions, allow_overwrite=False,
-                               n_buckets=n_buckets)
+    return _run_with_hook(spark, store, prepared, root, todo, run_id, on_complete,
+                          num_partitions=num_partitions, allow_overwrite=False,
+                          n_buckets=n_buckets, max_doc_bytes=max_doc_bytes)
+
+
+def _run_with_hook(spark, store, prepared, root, buckets, run_id, on_complete, *,
+                   num_partitions, allow_overwrite, n_buckets, max_doc_bytes=None) -> dict:
+    try:
+        summary = _process_and_commit(spark, store, prepared, root, buckets, run_id,
+                                      num_partitions=num_partitions,
+                                      allow_overwrite=allow_overwrite,
+                                      n_buckets=n_buckets,
+                                      max_doc_bytes=max_doc_bytes)
+    except Exception as exc:
+        notify_completion(on_complete, {
+            "run_id": run_id, "snapshot_id": None, "buckets": list(buckets), "docs": 0,
+            "status": "failed", "detail": f"{type(exc).__name__}: {exc}",
+        })
+        raise
+    notify_completion(on_complete, {**summary, "status": "completed", "detail": None})
+    return summary
 
 
 def prepare_input(input_df: DataFrame, n_buckets: int) -> DataFrame:
@@ -333,6 +372,24 @@ def prepare_input(input_df: DataFrame, n_buckets: int) -> DataFrame:
     ).withColumn(
         "_input_hash", F.xxhash64("doc_id", F.to_json("spans"))
     )
+
+
+def notify_completion(callback, payload: dict) -> None:
+    """Post-commit hook — the engine's webhook analog (reference
+    ``app/main.py:879-915``: POST of {task_id, status, detail, totals, url}
+    on task end, errors logged and swallowed).  Batch form: ``callback`` is
+    any callable invoked with the run-summary payload after a successful
+    commit, after a no-op, and on failure; a crashing callback never takes
+    the run down with it (the commit already happened)."""
+    if callback is None:
+        return
+    try:
+        callback(dict(payload))
+    except Exception as exc:  # mirror the reference's swallow-and-log
+        import warnings
+
+        warnings.warn(f"completion callback failed: {type(exc).__name__}: {exc}",
+                      stacklevel=2)
 
 
 def _bucket_summaries(df) -> dict[str, list]:
@@ -351,12 +408,24 @@ _EMPTY_SUM = [0, "0"]
 
 
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
-                        num_partitions, allow_overwrite, n_buckets) -> dict:
-    out = run_extraction(prepared, num_partitions=num_partitions)
+                        num_partitions, allow_overwrite, n_buckets,
+                        max_doc_bytes=None) -> dict:
+    # Per-stage walls (verdict item: scan-vs-python-vs-write visibility for
+    # 100x plan audits).  extract_and_write is one fused Spark action — the
+    # scan, the Python extraction and the parquet write pipeline together by
+    # design (no Exchange before mapInArrow), so the split of THAT stage is
+    # the lineage table's per-partition wall_ms (pure Python time) vs the
+    # remainder (scan + write + codec).
+    timings: dict[str, int] = {}
+    t0 = time.perf_counter()
+    out = run_extraction(prepared, num_partitions=num_partitions,
+                         max_doc_bytes=max_doc_bytes)
 
     data_dir = os.path.join(root, "data", f"run={run_id}")
     out.write.parquet(data_dir, mode="overwrite")
+    timings["extract_and_write_ms"] = int((time.perf_counter() - t0) * 1000)
 
+    t0 = time.perf_counter()
     written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
     # One aggregate replaces the old count(): per-bucket summaries feed the
     # manifest (upsert pre-filter) and the doc total falls out of them.
@@ -364,6 +433,8 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     for b in buckets:  # a wholesale-deleted bucket has zero rows: record it
         bucket_sums.setdefault(str(b), list(_EMPTY_SUM))
     docs = sum(v[0] for v in bucket_sums.values())
+    timings["summarize_ms"] = int((time.perf_counter() - t0) * 1000)
+    t0 = time.perf_counter()
 
     # Commit FIRST, then stamp lineage with the snapshot id the commit
     # actually produced — a concurrent disjoint-bucket commit can advance
@@ -373,12 +444,16 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     # skips missing run dirs), never data.
     snapshot_id = store.commit(buckets, run_id, allow_overwrite=allow_overwrite,
                                n_buckets=n_buckets, bucket_sums=bucket_sums)
+    timings["commit_ms"] = int((time.perf_counter() - t0) * 1000)
 
     # Lineage from the written files: prunes to the instrumentation columns,
     # so this scan costs footer-reads + three narrow columns, not a re-run.
+    t0 = time.perf_counter()
     lineage = derive_lineage(written, run_id, snapshot_id)
     lineage.write.parquet(os.path.join(root, "lineage", f"run={run_id}"), mode="overwrite")
-    return {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets, "docs": docs}
+    timings["lineage_ms"] = int((time.perf_counter() - t0) * 1000)
+    return {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets,
+            "docs": docs, "timings_ms": timings}
 
 
 def run_upsert(
@@ -389,6 +464,8 @@ def run_upsert(
     n_buckets: int = 64,
     num_partitions: Optional[int] = None,
     run_id: Optional[str] = None,
+    on_complete=None,
+    max_doc_bytes: Optional[int] = None,
 ) -> dict:
     """Copy-on-write upsert: reprocess only buckets containing new or changed
     documents (``_input_hash`` mismatch vs the committed snapshot), rewrite
@@ -431,9 +508,11 @@ def run_upsert(
         != (committed_sums.get(str(b), _EMPTY_SUM) if str(b) in committed else _EMPTY_SUM)
     )
     if not dirty_buckets:
-        return {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
+        summary = {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
+        notify_completion(on_complete, {**summary, "status": "noop", "detail": None})
+        return summary
 
     todo_input = prepared.filter(F.col("_bucket").isin(dirty_buckets))
-    return _process_and_commit(spark, store, todo_input, root, dirty_buckets, run_id,
-                               num_partitions=num_partitions, allow_overwrite=True,
-                               n_buckets=n_buckets)
+    return _run_with_hook(spark, store, todo_input, root, dirty_buckets, run_id, on_complete,
+                          num_partitions=num_partitions, allow_overwrite=True,
+                          n_buckets=n_buckets, max_doc_bytes=max_doc_bytes)

@@ -73,19 +73,24 @@ def distinct_media(corpus_df: DataFrame, output_df: Optional[DataFrame] = None) 
 
 
 def upload_media(corpus_df: DataFrame, base_path: Optional[str],
-                 output_df: Optional[DataFrame] = None) -> int:
+                 output_df: Optional[DataFrame] = None,
+                 store_factory=None) -> int:
     """Upload every distinct media blob; returns the distinct count.
 
     ``foreachPartition`` keeps the store client per-partition (reference
     builds one backend per request; we build one per task).  The work-list
     is persisted across the two actions (sink + count) so the explode/dedup
-    shuffle runs once."""
+    shuffle runs once.
+
+    ``store_factory`` (a picklable zero-arg callable returning a MediaStore)
+    selects the backend per task — pass one built from ``make_remote_store``
+    for S3/R2 uploads; default is the local/null store at ``base_path``."""
     work = distinct_media(corpus_df, output_df).persist()
 
     def sink(rows) -> None:
         from ..storage import make_store
 
-        store = make_store(base_path)
+        store = store_factory() if store_factory is not None else make_store(base_path)
         for row in rows:
             payload = bytes(row["payload"])
             key = media_key(payload)

@@ -30,7 +30,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from .batch import INSTRUMENTATION_COLS, INSTRUMENTED_DDL, extract_batches
+from .batch import INSTRUMENTATION_COLS, INSTRUMENTED_DDL, extract_batches, make_extract_kernel
 
 SALT = 0x5EED  # fixed salt: decorrelates the partition key from other uses of xxhash64(doc_id)
 
@@ -50,19 +50,23 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
 
 
 def run_extraction(input_df: DataFrame, *, num_partitions: Optional[int] = None,
-                   repartition: Optional[bool] = None) -> DataFrame:
+                   repartition: Optional[bool] = None,
+                   max_doc_bytes: Optional[int] = None) -> DataFrame:
     """Raw corpus → instrumented extraction output (lazy; no action taken).
 
     No shuffle by default: trust the scan/generator partitioning — the
     vectorized Arrow path feeds Python directly, no row-codec round trip.
     Passing ``num_partitions`` (or ``repartition=True``) forces the salted
-    shuffle first — for skewed/clustered inputs.
+    shuffle first — for skewed/clustered inputs.  ``max_doc_bytes`` overrides
+    the oversized-doc reject cap (batch.MAX_DOC_BYTES, the reference's
+    25 MiB upload limit).
     """
     df = input_df
     if repartition or (repartition is None and num_partitions is not None):
         p = num_partitions or default_partitions(input_df.sparkSession)
         df = salted_repartition(df, p)
-    return df.mapInArrow(extract_batches, INSTRUMENTED_DDL)
+    kernel = extract_batches if max_doc_bytes is None else make_extract_kernel(max_doc_bytes)
+    return df.mapInArrow(kernel, INSTRUMENTED_DDL)
 
 
 def strip_instrumentation(out_df: DataFrame) -> DataFrame:
@@ -82,11 +86,12 @@ def derive_lineage(out_df: DataFrame, run_id: str, snapshot_id: int) -> DataFram
             F.count(F.lit(1)).alias("doc_count"),
             F.sum("_bytes").alias("bytes"),
             F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("parse_failures"),
+            F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
             F.sum("_wall_ms").alias("wall_ms"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
             F.lit(snapshot_id).cast("bigint").alias("snapshot_id"),
-            "partition_id", "doc_count", "bytes", "parse_failures", "wall_ms",
+            "partition_id", "doc_count", "bytes", "parse_failures", "rejected", "wall_ms",
         )
     )

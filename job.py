@@ -41,6 +41,12 @@ def main(argv=None) -> int:
                     help="skip the steady-state warm-up (include worker spawn in the timing)")
     ap.add_argument("--upsert", action="store_true",
                     help="copy-on-write mode: reprocess only buckets with new/changed docs")
+    ap.add_argument("--max-doc-bytes", type=int, default=None,
+                    help="oversized-doc reject cap in bytes (default 25 MiB, the "
+                         "reference upload limit); rejected docs are counted in lineage")
+    ap.add_argument("--callback-log", default=None,
+                    help="post-commit hook sink: append the completion payload as a JSON "
+                         "line to this file on commit, no-op, and failure (webhook analog)")
     args = ap.parse_args(argv)
     if (args.input is None) == (args.n_docs is None):
         ap.error("exactly one of --input / --n-docs is required")
@@ -68,12 +74,20 @@ def main(argv=None) -> int:
         gen_p = args.gen_partitions or spark.sparkContext.defaultParallelism * 4
         inp = corpus_df(spark, args.n_docs, seed=args.seed, partitions=gen_p)
 
+    on_complete = None
+    if args.callback_log:
+        def on_complete(payload, _path=args.callback_log):
+            with open(_path, "a") as f:
+                f.write(json.dumps(payload) + "\n")
+
     if args.upsert:
         summary = run_upsert(
             spark, inp, args.output,
             n_buckets=args.n_buckets,
             num_partitions=args.partitions,
             run_id=args.run_id,
+            on_complete=on_complete,
+            max_doc_bytes=args.max_doc_bytes,
         )
     else:
         summary = run_incremental(
@@ -82,12 +96,17 @@ def main(argv=None) -> int:
             max_buckets_per_run=args.max_buckets_per_run,
             num_partitions=args.partitions,
             run_id=args.run_id,
+            on_complete=on_complete,
+            max_doc_bytes=args.max_doc_bytes,
         )
     wall = time.perf_counter() - t0
 
     store = SnapshotStore(args.output)
     lineage = store.read_lineage(spark)
-    stats = lineage.groupBy().sum("doc_count", "parse_failures", "wall_ms").collect()[0]
+    stats = lineage.groupBy().sum("doc_count", "parse_failures", "rejected", "wall_ms").collect()[0]
+    # Live table size from manifest bucket summaries (O(manifest)); legacy
+    # tables without summaries pay one column-pruned scan.
+    live = store.live_doc_count()
     report = {
         "run_id": summary["run_id"],
         "snapshot_id": summary["snapshot_id"],
@@ -96,9 +115,15 @@ def main(argv=None) -> int:
         # lineage totals record WORK done across all runs (upserts reprocess);
         # docs_in_snapshot is the live table size.
         "docs_processed_all_runs": int(stats[0] or 0),
-        "docs_in_snapshot": store.read_output(spark).count(),
+        "docs_in_snapshot": live if live is not None else store.read_output(spark).count(),
         "parse_failures_total": int(stats[1] or 0),
-        "extract_wall_ms_total": int(stats[2] or 0),
+        "rejected_total": int(stats[2] or 0),
+        # Per-stage walls: extract_wall_ms_total is the lineage-summed pure-
+        # Python extraction time across partitions; stage_timings_ms splits
+        # this run's driver wall into fused extract+write / summarize /
+        # commit / lineage segments (100x plan-audit support).
+        "extract_wall_ms_total": int(stats[3] or 0),
+        "stage_timings_ms": summary.get("timings_ms", {}),
         "run_wall_sec": round(wall, 2),
         "docs_per_sec": round(summary["docs"] / wall, 2) if wall > 0 else None,
     }

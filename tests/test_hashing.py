@@ -39,3 +39,19 @@ def test_spark_builtin_parity(spark):
     M = 1 << 64
     expected = [v - M if v >= (1 << 63) else v for v in (xxh64(p, 42) for p in payloads)]
     assert got == expected
+
+
+def test_c_wheel_parity_when_available():
+    # At deployment the C xxhash wheel takes over the hot path; digests must
+    # be byte-identical to the pure-Python spec impl.
+    from docling_service_spark.hashing import HAVE_C_XXHASH, _pure_hexdigest, xxh64_hexdigest
+
+    payloads = [b"", b"a", b"grid-image-1", bytes(range(256)) * 41]
+    for p in payloads:
+        assert _pure_hexdigest(p) == format(__import__(
+            "docling_service_spark.hashing", fromlist=["xxh64"]).xxh64(p), "016x")
+    if HAVE_C_XXHASH:
+        for p in payloads:
+            assert xxh64_hexdigest(p) == _pure_hexdigest(p)
+    else:
+        assert xxh64_hexdigest is _pure_hexdigest

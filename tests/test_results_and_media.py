@@ -98,7 +98,8 @@ def test_storage_status_echo(tmp_path):
 
     s = storage_status(LocalMediaStore(str(tmp_path)))
     assert s == {"backend": "LocalMediaStore", "cloud_enabled": False,
-                 "materializes": True, "base_path": str(tmp_path)}
+                 "materializes": True, "base_path": str(tmp_path),
+                 "bucket": None, "public_url_base": None}
     s = storage_status(NullMediaStore())
     assert s["materializes"] is False and s["base_path"] is None
 
