@@ -32,11 +32,13 @@ BENCH_QUERIES = [
     "q20_token_stats",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_signatures",
+    "q33_lsh_candidate_pairs",
     "q34_simhash",
     "q40_cosine_topk",
     "q42_lsh_bucketed_neighbors",
     "q50_media_features",
     "q61_extract_html_docs",
+    "q62_extract_spreadsheet",
 ]
 
 

@@ -49,6 +49,18 @@ def _hash60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _shingle_rows(docs):
+    """(doc_id, shingle) rows.  The token array is materialized as a column
+    BEFORE the shingle transform: inlining the split+filter expression into
+    the per-element ``element_at`` lambda makes Spark re-evaluate the whole
+    tokenization per shingle element — measured 21x slower at sf0.1 (9.0s vs
+    0.43s for the exploded shingle set)."""
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), _tokens().alias("toks")
+    )
+    return toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle"))
+
+
 _SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 _SQL_SHINGLES = (
     f"list_distinct(CASE WHEN len({_SQL_TOKS}) >= 3 THEN "
@@ -110,10 +122,7 @@ def q31_ngram_jaccard_pairs(spark, sf_dir):
 def jaccard_pairs(docs, *, max_df: int = MAX_SHINGLE_DF, min_jaccard_e4: int = JACCARD_MIN_E4):
     """Core of q31 over any (doc_id, text) DataFrame — exposed so tests can
     drive the stop-shingle cap with a synthetic hot shingle."""
-    sh = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(_shingles(_tokens())).alias("shingle"),
-    )
+    sh = _shingle_rows(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_ok = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -160,6 +169,16 @@ WHERE FLOOR(inter * 10000 / (sa.sz + sb.sz - inter)) >= {JACCARD_MIN_E4}
 
 # --- q32: MinHash signatures ----------------------------------------------------------
 
+# Universal-hash minhash family: ONE expensive base hash per shingle, then K
+# cheap integer derivations mh_j = (a_j*h + b_j) mod (2^31-1).  The naive
+# K-independent-md5 form cost 8 md5+conv per shingle and dominated the bench
+# (q33 12.8s at sf0.1); this form is one md5 + 8 multiply-mods.  All values
+# fit int64 (h < 2^31, a_j < 2^31 → product < 2^62), identical in DuckDB.
+MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+MH_A = [1 + 2 * j for j in range(MINHASH_K)]             # odd, < prime
+MH_B = [(j * 2654435761) % MH_PRIME for j in range(MINHASH_K)]  # Knuth-spaced offsets
+
+
 def _minhash_sigs(spark, sf_dir, limit=None):
     """K minhash values per doc: one explode + one groupBy with K min()
     aggregates (single shuffle, map-side partials).  ``limit`` bounds the doc
@@ -167,12 +186,10 @@ def _minhash_sigs(spark, sf_dir, limit=None):
     docs = load(spark, sf_dir, "documents")
     if limit is not None:
         docs = docs.filter(F.col("doc_id") < limit)
-    sh = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(_shingles(_tokens())).alias("shingle"),
-    )
+    base = (_hash60(F.col("shingle")) % F.lit(MH_PRIME)).alias("h")
+    sh = _shingle_rows(docs).select("doc_id", base)
     aggs = [
-        F.min(_hash60(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
+        F.min((F.col("h") * F.lit(MH_A[j]) + F.lit(MH_B[j])) % F.lit(MH_PRIME)).alias(f"mh{j}")
         for j in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -183,13 +200,15 @@ def q32_minhash_signatures(spark, sf_dir):
 
 
 _mh_cols = ", ".join(
-    "MIN(" + _sql_hash60(f"shingle || '#{j}'") + f") AS mh{j}" for j in range(MINHASH_K)
+    f"MIN((h * {MH_A[j]} + {MH_B[j]}) % {MH_PRIME}) AS mh{j}" for j in range(MINHASH_K)
 )
+_SQL_BASE_H = f"({_sql_hash60('shingle')} % {MH_PRIME})"
 ORACLE_Q32 = f"""
 WITH sh AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_SQL_SHINGLES}) AS shingle
-  FROM documents WHERE doc_id < {PAIR_LIMIT})
-SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id
+  FROM documents WHERE doc_id < {PAIR_LIMIT}),
+hashed AS (SELECT doc_id, {_SQL_BASE_H} AS h FROM sh)
+SELECT doc_id, {_mh_cols} FROM hashed GROUP BY doc_id
 """
 
 
@@ -236,7 +255,8 @@ ORACLE_Q33 = f"""
 WITH sh AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_SQL_SHINGLES}) AS shingle
   FROM documents),
-sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+hashed AS (SELECT doc_id, {_SQL_BASE_H} AS h FROM sh),
+sigs AS (SELECT doc_id, {_mh_cols} FROM hashed GROUP BY doc_id),
 bands AS ({_band_selects})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
