@@ -484,3 +484,54 @@ FROM events GROUP BY user_id
 
 QUERIES["q14_event_type_pivot"] = q14_event_type_pivot
 ORACLES["q14_event_type_pivot"] = ORACLE_Q14
+
+
+# --- q18: map functions (map_from_entries / map_keys / element_at lookup) --------
+
+def q18_map_rollup(spark, sf_dir):
+    """Per-user event-type → value-total MAP, then map-side reads: key
+    cardinality, sorted key list, and point lookups with absent-key default.
+
+    Closes SURVEY §2 Part B 'map fns' (previously superseded by joins): the
+    map is built with map_from_entries over per-type pre-aggregates (entries
+    sorted so map key order is deterministic), read with map_keys /
+    element_at.  Per-type totals go through DECIMAL(18,2) per row before
+    summing so both engines do exact decimal arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "total")))
+        ).alias("totals")
+    )
+
+    def lookup(key):
+        return F.coalesce(F.element_at("totals", F.lit(key)), F.lit(0)) \
+                .cast("decimal(18,2)")
+
+    return m.select(
+        "user_id",
+        F.size(F.map_keys("totals")).cast("bigint").alias("n_types"),
+        F.concat_ws(",", F.sort_array(F.map_keys("totals"))).alias("types_csv"),
+        lookup("click").alias("click_total"),
+        lookup("purchase").alias("purchase_total"),
+    )
+
+
+ORACLE_Q18 = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                              THEN CAST(value AS DECIMAL(18,2)) END), 0)
+            AS DECIMAL(18,2)) AS click_total,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,2)) END), 0)
+            AS DECIMAL(18,2)) AS purchase_total
+FROM events GROUP BY user_id
+"""
+
+QUERIES["q18_map_rollup"] = q18_map_rollup
+ORACLES["q18_map_rollup"] = ORACLE_Q18

@@ -40,6 +40,9 @@ def test_parity_on_tricky_markup():
         "<h1></h1><p></p><div></div>",
         "<p>unclosed paragraph that keeps going and going with plenty of length",
         "<textarea><p>should be raw text</p></textarea><p>Visible paragraph after the textarea.</p>",
+        '<div title="a>b"><p>Quoted gt inside attribute with enough paragraph length.</p></div>',
+        "<div title='a>b'><p>Single-quoted gt attr with enough paragraph length too.</p></div>",
+        '<p class="x>y">Paragraph whose own attr contains a quoted greater-than sign.</p>',
     ]
     for html in cases:
         fast, std = both(html)
