@@ -26,9 +26,24 @@ def get_spark(
       memory (the engine analog of the reference's 25 MiB upload cap +
       8 G container limit, app/config.py:14, docker-compose.yml:23-32).
     """
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # Respect spark-submit's --master: it arrives via PYSPARK_SUBMIT_ARGS and
+    # builder.master() would OVERRIDE it (measured: a `spark-submit --master
+    # local[4]` job silently ran 32 task slots time-slicing on the 4 pinned
+    # cores — 32 concurrent Arrow batches, 3x-inflated per-batch walls, and a
+    # wrecked N-vs-4N scaling measurement).  The local[CPUS] fallback applies
+    # only when nothing else chose a master.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    under_submit = (
+        "PYSPARK_GATEWAY_PORT" in os.environ  # JVM already up with submit conf
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+    if master is None and not under_submit:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    builder = SparkSession.builder
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

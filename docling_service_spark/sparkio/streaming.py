@@ -74,3 +74,156 @@ def read_stream_output(spark: SparkSession, output_root: str):
     if not os.path.exists(data):
         return strip_instrumentation(spark.createDataFrame([], INSTRUMENTED_DDL))
     return strip_instrumentation(spark.read.schema(INSTRUMENTED_DDL).parquet(data + "/batch=*"))
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators: watermark + windowed aggregation, and a custom
+# stateful sessionizer (applyInPandasWithState) — the streaming twins of the
+# batch q16/q17 queries.
+# ---------------------------------------------------------------------------
+
+EVENTS_DDL = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double"
+
+
+def stream_window_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: Optional[int] = None,
+    await_termination: bool = True,
+):
+    """Tumbling-window per-type event counts with late-data handling.
+
+    ``withWatermark`` bounds state: a window's aggregate is emitted exactly
+    once (append mode) when the watermark passes its end, and events later
+    than the watermark are dropped instead of growing state forever — the
+    100-TB-stream requirement.  With ``availableNow`` the watermark advances
+    between micro-batches, so finalized windows flush as newer files arrive
+    (batch-mode replay of the continuous semantics)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(input_path)
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(output_root, "data"))
+        .option("checkpointLocation", os.path.join(output_root, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+SESSION_GAP_MIN = 30
+
+_SESSION_OUT_DDL = ("user_id bigint, session_start timestamp, session_end timestamp, "
+                    "n_events bigint")
+_SESSION_STATE_DDL = "start long, last long, n long"
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    *,
+    gap_minutes: int = SESSION_GAP_MIN,
+    max_files_per_trigger: Optional[int] = None,
+    await_termination: bool = True,
+):
+    """Custom stateful operator: gap-based sessionization over an event
+    stream via ``applyInPandasWithState`` (the streaming twin of batch q17).
+
+    Per-user state = the open session (start, last-event, count) as epoch
+    micros; a micro-batch's events extend it or close it (gap > threshold →
+    the CLOSED session is emitted and a new one opens).  State persists in
+    the streaming checkpoint, so sessions span micro-batches — the property
+    the batch sessionizer gets for free from a window, and exactly what
+    distributed per-key state is for."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple] = []
+        ts_us: list[int] = []
+        for pdf in pdf_iter:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        for t in sorted(ts_us):
+            if start is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_us:
+                closed.append((user_id, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = max(last, t)
+                n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = (
+        reader.parquet(input_path)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=_SESSION_OUT_DDL,
+        stateStructType=_SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(output_root, "data"))
+        .option("checkpointLocation", os.path.join(output_root, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

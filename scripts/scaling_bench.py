@@ -77,6 +77,12 @@ def run_level_repeated(master: str, corpus_path: str, repeats: int = 3) -> dict:
     return best
 
 
+def _steal_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()  # cpu user nice system idle iowait irq softirq steal ...
+    return int(parts[8])
+
+
 def run_level(master: str, corpus_path: str) -> dict:
     """Run the job with the WHOLE process tree pinned to exactly N cores.
 
@@ -94,11 +100,16 @@ def run_level(master: str, corpus_path: str) -> dict:
             str(REPO / "job.py"),
             "--output", out_dir, "--input", corpus_path, "--n-buckets", "32",
         ]
+        steal0 = _steal_jiffies()
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, cwd=REPO)
         if res.returncode != 0:
             sys.stderr.write(res.stderr[-3000:])
             raise RuntimeError(f"job failed at {master}")
-        return json.loads(res.stdout.strip().splitlines()[-1])
+        report = json.loads(res.stdout.strip().splitlines()[-1])
+        # Hypervisor steal during the run (whole-VM, seconds): a contaminated
+        # sample is visible instead of silently skewing the efficiency.
+        report["steal_sec_during_run"] = round((_steal_jiffies() - steal0) / 100.0, 1)
+        return report
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -107,6 +118,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=60000)
     ap.add_argument("--skip-8-32", action="store_true")
+    ap.add_argument("--repeats", type=int, default=4,
+                    help="alternating N/4N run pairs (neighbor-noise defense)")
     args = ap.parse_args()
 
     calib = cpu_calibration()
@@ -114,8 +127,17 @@ def main() -> None:
     corpus_path = corpus_root + "/corpus"
     try:
         materialize_corpus(args.n_docs, corpus_path)
-        r4 = run_level_repeated("local[4]", corpus_path)
-        r16 = run_level_repeated("local[16]", corpus_path)
+        # ALTERNATE the two levels so both sample the same host-noise window
+        # (this Firecracker host shows invisible neighbor steal: sequential
+        # best-of-3 per level measured a 2.2x swing WITHIN one level).
+        runs4, runs16 = [], []
+        for _ in range(args.repeats):
+            runs4.append(run_level("local[4]", corpus_path))
+            runs16.append(run_level("local[16]", corpus_path))
+        r4 = min(runs4, key=lambda r: r["run_wall_sec"])
+        r4["all_walls_sec"] = [r["run_wall_sec"] for r in runs4]
+        r16 = min(runs16, key=lambda r: r["run_wall_sec"])
+        r16["all_walls_sec"] = [r["run_wall_sec"] for r in runs16]
         extra = ""
         if not args.skip_8_32:
             r8 = run_level_repeated("local[8]", corpus_path)
@@ -124,6 +146,8 @@ def main() -> None:
         shutil.rmtree(corpus_root, ignore_errors=True)
     t4, t16 = r4["run_wall_sec"], r16["run_wall_sec"]
     eff = (t4 / t16) / 4
+    hw_ceiling = calib[4] / calib[16]  # same-window per-core slowdown 4->16 busy cores
+    sw_eff = eff / hw_ceiling
 
     if not args.skip_8_32:
         eff832 = (r8["run_wall_sec"] / r32["run_wall_sec"]) / 4
@@ -166,7 +190,11 @@ efficiency ceiling is {calib[4] / calib[16]:.3f}.
 | N  | local[4]  | {t4:.2f} | {r4["docs_per_sec"]:.1f} |
 | 4N | local[16] | {t16:.2f} | {r16["docs_per_sec"]:.1f} |
 
-**Scaling efficiency** `(T_N / T_4N) / 4` = **{eff:.3f}** (target ≥ 0.8).
+**Scaling efficiency** `(T_N / T_4N) / 4` = **{eff:.3f}** (target ≥ 0.8) —
+against a same-window measured **hardware** ceiling of {hw_ceiling:.3f}
+(per-core speed at 16 busy cores vs 4 on this shared host; see calibration),
+i.e. **software scaling efficiency {sw_eff:.2f}** relative to what the
+hardware delivers to ANY 4x-parallel software in this window.
 {extra}
 ## Stage breakdown (4N run)
 
@@ -200,7 +228,21 @@ semantics; at local[16]: {r16["docs_per_sec"]:.0f} docs/sec.
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
     out.write_text(md)
+    # Append provenance: every study sample survives in history.jsonl (this
+    # shared host swings 2x between windows; single-study numbers mislead).
+    with open(REPO / "BENCH" / "history.jsonl", "a") as hf:
+        hf.write(json.dumps({
+            "date": today, "n_docs": args.n_docs, "eff_4_16": round(eff, 3),
+            "sw_eff_4_16": round(sw_eff, 3), "hw_ceiling_4_16": round(hw_ceiling, 3),
+            "docs_per_sec_4": r4["docs_per_sec"], "docs_per_sec_16": r16["docs_per_sec"],
+            "walls_4": r4["all_walls_sec"], "walls_16": r16["all_walls_sec"],
+            "steal_sec_4": r4.get("steal_sec_during_run"),
+            "steal_sec_16": r16.get("steal_sec_during_run"),
+            "calibration": calib,
+        }) + "\n")
     print(json.dumps({"eff_4_16": round(eff, 3),
+                      "sw_eff_4_16": round(sw_eff, 3),
+                      "hw_ceiling_4_16": round(hw_ceiling, 3),
                       "docs_per_sec_4": r4["docs_per_sec"],
                       "docs_per_sec_16": r16["docs_per_sec"],
                       "calibration": calib}))
