@@ -15,12 +15,12 @@ Cross-engine equality discipline (driver hashes values after sorting):
 
 from __future__ import annotations
 
-from . import dedup, multimodal, relational, similarity, text_ops
+from . import ann, dedup, multimodal, relational, similarity, text_ops
 from .extraction import EXTRACTION_ORACLES, EXTRACTION_QUERIES
 
 QUERIES = {}
 ORACLES = {}
-for mod in (relational, text_ops, dedup, similarity, multimodal):
+for mod in (relational, text_ops, dedup, similarity, ann, multimodal):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 QUERIES.update(EXTRACTION_QUERIES)

@@ -140,8 +140,15 @@ def q42_lsh_bucketed_neighbors(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
-    inv_norm = F.lit(1.0) / F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    nemb = F.transform(F.col("embedding"), lambda x: x.cast("double") * inv_norm)
+    # inv_norm MUST be a materialized column before the normalize transform:
+    # referencing it inside the per-element lambda re-evaluates the whole
+    # 64-element dot product per element (64x per row — the same Catalyst
+    # no-CSE-across-lambdas trap as the shingle tokenizer; see dedup.py).
+    emb = emb.withColumn(
+        "inv_norm", F.lit(1.0) / F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    nemb = F.transform(F.col("embedding"),
+                       lambda x: x.cast("double") * F.col("inv_norm"))
     withb = b.join(emb, "vec_id").select("vec_id", "bucket", nemb.alias("nemb"))
     a = withb.alias("a")
     c = withb.alias("c")
