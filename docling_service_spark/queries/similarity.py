@@ -90,13 +90,12 @@ def q41_lsh_buckets(spark, sf_dir):
 
     def proj(j):
         # weight(i, j) = ((i*37 + j*101) mod 13) - 6, i 0-based — deterministic
-        # integer "pseudo-random" hyperplanes, identical in SQL.
+        # integer "pseudo-random" hyperplanes, identical in SQL.  Weights are
+        # baked in as a LITERAL array: the sequence+element_at form paid an
+        # index indirection per element (and the modular arithmetic) per row.
+        w = F.array(*[F.lit(float((i * 37 + j * 101) % 13 - 6)) for i in range(DIM)])
         return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(DIM)),
-                lambda i: F.element_at(F.col("embedding"), i).cast("double")
-                * (((i - 1) * 37 + j * 101) % 13 - 6).cast("double"),
-            ),
+            F.zip_with(F.col("embedding"), w, lambda x, wi: x.cast("double") * wi),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
