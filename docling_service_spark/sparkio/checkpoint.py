@@ -205,6 +205,43 @@ class SnapshotStore:
             df = df.unionByName(p)
         return df if instrumented else strip_instrumentation(df)
 
+    def read_docs(self, spark: SparkSession, doc_ids: list[str],
+                  *, instrumented: bool = False) -> DataFrame:
+        """Point lookups with bucket pruning: the manifest maps each doc's
+        bucket to exactly one run dir, so a k-doc lookup scans only the
+        owning runs' files with `_bucket` + `doc_id` filters pushed into the
+        parquet scan — O(k buckets) of the table, not O(table).  (Iceberg's
+        metadata-pruned point read, on the manifest-only bucket layout.)"""
+        m = self.current_manifest()
+        if not m or not doc_ids:
+            df = spark.createDataFrame([], INSTRUMENTED_DDL)
+            return df if instrumented else strip_instrumentation(df)
+        n_buckets = m["n_buckets"]
+        # Buckets via the same JVM hash the writer used (one tiny local job).
+        id_df = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+        rows = id_df.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("b")
+        ).collect()
+        wanted: dict[str, list] = {}  # run_id -> buckets
+        for r in rows:
+            run = m["buckets"].get(str(r["b"]))
+            if run is not None:
+                wanted.setdefault(run, []).append(r["b"])
+        if not wanted:
+            df = spark.createDataFrame([], INSTRUMENTED_DDL)
+            return df if instrumented else strip_instrumentation(df)
+        parts = []
+        for run_id, buckets in sorted(wanted.items()):
+            df = spark.read.schema(INSTRUMENTED_DDL).parquet(
+                os.path.join(self.root, "data", f"run={run_id}")
+            )
+            parts.append(df.filter(F.col("_bucket").isin(sorted(set(buckets)))))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df = df.filter(F.col("doc_id").isin(list(doc_ids)))
+        return df if instrumented else strip_instrumentation(df)
+
     def live_doc_count(self) -> Optional[int]:
         """Docs in the current snapshot from manifest bucket summaries alone —
         O(manifest), no data scan (job reporting used to pay a full
