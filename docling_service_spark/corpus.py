@@ -233,16 +233,20 @@ def _slide_doc_spans(rng: random.Random, n_slides: int) -> list[dict]:
 # Public corpus API
 # ---------------------------------------------------------------------------
 
+_FAMILY_EXT = [".html", ".pdf", ".pdf", ".xlsx", ".pptx"]  # matches idx % 5 families
+
+
 def source_meta(idx: int, doc_id: str) -> dict:
     """Deterministic ingestion metadata (reference ConversionSource,
     app/main.py:44-51): every 4th doc arrives by URL, the rest are uploads
-    with an original filename."""
-    exts = [".pdf", ".html", ".xlsx", ".pptx"]
+    with an original filename.  The extension follows the doc's FAMILY
+    (idx % 5), so filename/URL never contradicts the content."""
+    ext = _FAMILY_EXT[idx % 5]
     if idx % 4 == 0:
-        return {"kind": "url", "value": f"https://example.org/docs/{idx}{exts[idx % 4]}",
+        return {"kind": "url", "value": f"https://example.org/docs/{idx}{ext}",
                 "original_name": None}
-    return {"kind": "upload", "value": f"{doc_id}{exts[idx % 4]}",
-            "original_name": f"report-{idx}{exts[idx % 4]}"}
+    return {"kind": "upload", "value": f"{doc_id}{ext}",
+            "original_name": f"report-{idx}{ext}"}
 
 
 def build_doc(idx: int, seed: int = 42, *,

@@ -60,9 +60,17 @@ def _assign(emb, centroids: list[list[float]]):
                       best["c"].alias("cluster"), best["d"].alias("sq_dist"))
 
 
+_CENTROID_CACHE: dict[tuple, list] = {}
+
+
 def train_ivf(spark, sf_dir, *, k: int = IVF_K, iters: int = IVF_ITERS) -> list[list[float]]:
     """Lloyd's k-means; returns the centroid list.  Deterministic: init =
-    the k lowest vec_ids, fixed iteration count, per-dimension avg()."""
+    the k lowest vec_ids, fixed iteration count, per-dimension avg() — which
+    also makes memoizing per (sf_dir, k, iters) safe: a q44+q45 sweep trains
+    once instead of paying the iteration jobs twice."""
+    key = (sf_dir, k, iters)
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
@@ -74,6 +82,7 @@ def train_ivf(spark, sf_dir, *, k: int = IVF_K, iters: int = IVF_ITERS) -> list[
         agg = _assign(emb, centroids).groupBy("cluster").agg(*dim_avgs).collect()
         by_cluster = {r["cluster"]: [r[f"d{i}"] for i in range(DIM)] for r in agg}
         centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]  # empty cluster keeps its centroid
+    _CENTROID_CACHE[key] = centroids
     return centroids
 
 

@@ -236,13 +236,26 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS):
     """Min-label propagation with pointer jumping over ``vertices (vec_id)``
     and undirected ``pairs (id_a, id_b)``.  Returns ``(labels, rounds)`` where
     labels has (vec_id, keeper_id = component min).  See q43 docstring for
-    the scale-hardening rationale."""
+    the scale-hardening rationale.
+
+    Every pair endpoint MUST appear in ``vertices`` — a missing endpoint
+    would silently split components (the propagation join drops its edges),
+    so it raises instead.  Memory: each round's localCheckpoint replaces the
+    previous one's only Python reference, so Spark's ContextCleaner
+    unpersists old rounds' blocks asynchronously — bounded, not accumulated.
+    """
     edges = (
         pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer"))
         .unionByName(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer")))
         .localCheckpoint(eager=True)  # pin the edge set; the pair query never re-runs
     )
     labels = vertices.select("vec_id", F.col("vec_id").alias("keeper_id"))
+    dangling = edges.join(labels, "vec_id", "left_anti").count()
+    if dangling:
+        raise ValueError(
+            f"{dangling} edge endpoints are missing from vertices — components "
+            f"would silently split; pass a vertex set covering every pair endpoint"
+        )
     changed = None
     rounds = 0
     for _ in range(max_rounds):

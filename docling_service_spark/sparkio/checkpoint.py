@@ -146,14 +146,20 @@ class SnapshotStore:
             name = f"manifest-{snapshot_id}.json"
             path = os.path.join(self.manifest_dir, name)
             tmp = os.path.join(self.manifest_dir, f".commit-{run_id}-{uuid.uuid4().hex}.tmp")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f, indent=2)
             try:
-                os.link(tmp, path)  # atomic claim: full content appears or nothing
-            except FileExistsError:
-                os.remove(tmp)
-                continue  # lost the race — re-read parent and re-check conflicts
-            os.remove(tmp)
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=2)
+                try:
+                    os.link(tmp, path)  # atomic claim: full content appears or nothing
+                except FileExistsError:
+                    continue  # lost the race — re-read parent and re-check conflicts
+            finally:
+                # tmp never outlives the attempt — crash-window leftovers are
+                # additionally swept by vacuum().
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
             self._advance_current(name, snapshot_id)
             return snapshot_id
         raise SnapshotConflictError(
@@ -161,9 +167,11 @@ class SnapshotStore:
         )
 
     def _advance_current(self, name: str, snapshot_id: int) -> None:
-        """Refresh the advisory CURRENT pointer, forward-only: a slow
-        committer finishing late must not regress it past a newer snapshot.
-        (Readers never trust CURRENT — see current_manifest.)"""
+        """Refresh the advisory CURRENT pointer.  Forward-only is BEST-EFFORT
+        (check-then-replace has a small race window where two committers can
+        interleave); readers must never trust CURRENT — current_manifest()
+        uses the max manifest file, and external tools should too when they
+        need a guarantee.  The pointer exists for human inspection only."""
         current = os.path.join(self.manifest_dir, "CURRENT")
         try:
             with open(current) as f:
@@ -334,6 +342,13 @@ def vacuum(root: str, *, keep_manifests: int = 10, min_age_hours: float = 6.0) -
             if sid <= current_id - keep_manifests:
                 os.remove(os.path.join(store.manifest_dir, entry))
                 removed_manifests.append(entry)
+        elif entry.startswith(".commit-") and entry.endswith(".tmp"):
+            # Crash-window leftovers from contended commits (the committer
+            # normally removes its tmp); same age grace as data orphans.
+            path = os.path.join(store.manifest_dir, entry)
+            if os.path.getmtime(path) <= cutoff:
+                os.remove(path)
+                removed_manifests.append(entry)
     return {"removed_run_dirs": removed_runs, "removed_manifests": removed_manifests}
 
 
@@ -402,12 +417,20 @@ def _run_with_hook(spark, store, prepared, root, buckets, run_id, on_complete, *
 
 def prepare_input(input_df: DataFrame, n_buckets: int) -> DataFrame:
     """Attach the passthrough columns: ``_bucket`` (resume/upsert granularity)
-    and ``_input_hash`` (content fingerprint of the raw spans, for change
-    detection).  Both JVM-side, columnar."""
+    and ``_input_hash`` (content fingerprint of every OUTPUT-AFFECTING input
+    column, for change detection).  Both JVM-side, columnar.
+
+    The hash covers ``source`` when present — source metadata is stamped
+    into the output (source_filename), so a source-only edit must mark the
+    doc dirty.  Inputs without the column keep the original (doc_id, spans)
+    hash, so existing tables don't all go dirty on upgrade."""
+    hash_cols = [F.col("doc_id"), F.to_json("spans")]
+    if "source" in input_df.columns:
+        hash_cols.append(F.to_json("source"))
     return input_df.withColumn(
         "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     ).withColumn(
-        "_input_hash", F.xxhash64("doc_id", F.to_json("spans"))
+        "_input_hash", F.xxhash64(*hash_cols)
     )
 
 

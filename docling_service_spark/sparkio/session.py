@@ -32,13 +32,16 @@ def get_spark(
     # cores — 32 concurrent Arrow batches, 3x-inflated per-batch walls, and a
     # wrecked N-vs-4N scaling measurement).  The local[CPUS] fallback applies
     # only when nothing else chose a master.
-    master = master or os.environ.get("SPARK_GRAFT_MASTER")
     under_submit = (
         "PYSPARK_GATEWAY_PORT" in os.environ  # JVM already up with submit conf
         or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     )
+    # Only an EXPLICIT function arg may override spark-submit; the env vars
+    # are fallbacks for bare-python runs (a leftover SPARK_GRAFT_MASTER in a
+    # bench shell must not re-introduce the override bug).
     if master is None and not under_submit:
-        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        master = (os.environ.get("SPARK_GRAFT_MASTER")
+                  or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     builder = SparkSession.builder
     if master:
         builder = builder.master(master)

@@ -160,7 +160,14 @@ def stream_sessionize(
     the CLOSED session is emitted and a new one opens).  State persists in
     the streaming checkpoint, so sessions span micro-batches — the property
     the batch sessionizer gets for free from a window, and exactly what
-    distributed per-key state is for."""
+    distributed per-key state is for.
+
+    Late-data policy (cross-batch out-of-order events): an event at or
+    before the open session's frontier is ABSORBED into the open session
+    when it is within the gap of the frontier (it belongs by the gap rule;
+    session_start moves back if needed), and DROPPED when older than that —
+    the watermark-expiry analog.  Without this, a very late event would
+    silently merge into a session it doesn't belong to."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -182,12 +189,17 @@ def stream_sessionize(
             if start is None:
                 start = last = t
                 n = 1
+            elif t <= last:  # late arrival vs state from a previous batch
+                if last - t <= gap_us:
+                    start = min(start, t)
+                    n += 1
+                # else: older than the gap behind the frontier — dropped
             elif t - last > gap_us:
                 closed.append((user_id, start, last, n))
                 start = last = t
                 n = 1
             else:
-                last = max(last, t)
+                last = t
                 n += 1
         state.update((start, last, n))
         if closed:
