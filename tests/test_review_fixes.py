@@ -4,7 +4,6 @@ tmp hygiene, family-consistent source extensions, CC input validation."""
 
 from __future__ import annotations
 
-import datetime as dt
 import os
 import time
 
@@ -46,16 +45,6 @@ def test_source_only_change_marks_doc_dirty(spark, tmp_path):
     r = run_upsert(spark, _docs_with_source(spark, 20, "v2.xlsx"), root,
                    n_buckets=4, run_id="r3")
     assert r["snapshot_id"] is None
-
-
-def test_sessionizer_late_event_policy():
-    # Drive the state-function logic through the public stream on crafted
-    # waves is covered in test_streaming_stateful; here exercise the policy
-    # boundary directly via the batch-visible outcome: an event older than
-    # gap behind the frontier is dropped, one within gap is absorbed.
-    from docling_service_spark.sparkio.streaming import SESSION_GAP_MIN
-
-    assert SESSION_GAP_MIN == 30
 
 
 def test_sessionizer_drops_too_late_absorbs_in_gap(spark, tmp_path):
