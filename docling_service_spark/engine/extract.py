@@ -397,8 +397,11 @@ def extract_document(doc_id: str, spans: Optional[list[dict]],
     ]
     source_filename = doc_id
     if source:
-        # upload → original filename; url → the URL (app/main.py:1099-1105).
-        source_filename = source.get("original_name") or source.get("value") or doc_id
+        # Reference parity: metadata stores source.original_name verbatim
+        # (app/main.py:323); url-kind sources never set original_name
+        # (app/main.py:1100-1105), so their source_filename is null — NOT
+        # the URL.  Only the no-source legacy path falls back to doc_id.
+        source_filename = source.get("original_name")
     doc_meta = {
         "total_pages": len(pages_list),
         "total_images": len(images_meta),

@@ -496,7 +496,10 @@ def q18_map_rollup(spark, sf_dir):
     map is built with map_from_entries over per-type pre-aggregates (entries
     sorted so map key order is deterministic), read with map_keys /
     element_at.  Per-type totals go through DECIMAL(18,2) per row before
-    summing so both engines do exact decimal arithmetic."""
+    summing so both engines do exact decimal arithmetic; the exposed totals
+    are floor-scaled BIGINT cents (``*_e2``) per the module parity convention
+    (queries/__init__.py) — returning raw decimals hash-mismatched in round 2
+    because DuckDB's COALESCE/CAST rendered them as DOUBLE."""
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("user_id", "event_type").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
@@ -508,15 +511,16 @@ def q18_map_rollup(spark, sf_dir):
     )
 
     def lookup(key):
-        return F.coalesce(F.element_at("totals", F.lit(key)), F.lit(0)) \
-                .cast("decimal(18,2)")
+        total = F.coalesce(F.element_at("totals", F.lit(key)), F.lit(0)) \
+                 .cast("decimal(18,2)")
+        return F.floor(total * 100).cast("bigint")
 
     return m.select(
         "user_id",
         F.size(F.map_keys("totals")).cast("bigint").alias("n_types"),
         F.concat_ws(",", F.sort_array(F.map_keys("totals"))).alias("types_csv"),
-        lookup("click").alias("click_total"),
-        lookup("purchase").alias("purchase_total"),
+        lookup("click").alias("click_total_e2"),
+        lookup("purchase").alias("purchase_total_e2"),
     )
 
 
@@ -524,12 +528,12 @@ ORACLE_Q18 = """
 SELECT user_id,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
-       CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
-                              THEN CAST(value AS DECIMAL(18,2)) END), 0)
-            AS DECIMAL(18,2)) AS click_total,
-       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                              THEN CAST(value AS DECIMAL(18,2)) END), 0)
-            AS DECIMAL(18,2)) AS purchase_total
+       CAST(FLOOR(CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                 THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS DECIMAL(18,2)) * 100) AS BIGINT) AS click_total_e2,
+       CAST(FLOOR(CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS DECIMAL(18,2)) * 100) AS BIGINT) AS purchase_total_e2
 FROM events GROUP BY user_id
 """
 

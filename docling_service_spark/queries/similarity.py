@@ -220,8 +220,12 @@ def q43_embedding_near_dup_keepers(spark, sf_dir):
 
     Scale hardening (round-2 verdict/advice items): every round ends in ONE
     materializing action — an eager ``localCheckpoint`` that truncates the
-    lineage chain (a lost executor recomputes one round, not the whole
-    loop) — and the convergence count is a cheap aggregate over the
+    lineage chain so the plan stays O(1) per round instead of growing across
+    iterations.  Note localCheckpoint stores blocks on executors only, so
+    losing an executor loses the blocks and FAILS the job (fine in local
+    mode; a fault-tolerant cluster deployment would swap in reliable
+    ``checkpoint()`` or a per-round parquet spill at the cost of an HDFS
+    write per round).  The convergence count is a cheap aggregate over the
     already-materialized checkpoint.  Exiting the loop unconverged raises
     instead of silently returning labels that diverge from the oracle."""
     pairs = q42_lsh_bucketed_neighbors(spark, sf_dir).filter(

@@ -44,8 +44,8 @@ INSTRUMENTATION_COLS = ["_pid", "_bytes", "_wall_ms", "_bucket", "_input_hash"]
 PASSTHROUGH_COLS = ["_bucket", "_input_hash"]
 
 
-# Oversized-document cap — the reference rejects uploads > 25 MiB with a 400
-# before any conversion work (app/config.py:14 max_upload_size,
+# Oversized-document cap — the reference rejects uploads > 25 MiB with a 413
+# before any conversion work (app/config.py:14 max_upload_mb,
 # app/main.py:1083-1087).  The batch analog: a doc whose total span payload
 # exceeds the cap is routed to a status='rejected' row WITHOUT running the
 # extractor (the size check reuses the instrumentation byte count, so the
@@ -70,8 +70,8 @@ def _failed_row(doc_id: str, exc: Exception) -> dict:
 
 
 def _rejected_row(doc_id: str, nbytes: int, cap: int) -> dict:
-    # Reference 400 message shape: "File too large. Maximum size is 25MB"
-    # (app/main.py:1085-1087).
+    # Reference raises 413 REQUEST_ENTITY_TOO_LARGE with detail
+    # "Uploaded file exceeds 25 MiB limit" (app/main.py:1084-1087).
     return {
         "doc_id": doc_id,
         "spans": None,

@@ -453,18 +453,26 @@ def notify_completion(callback, payload: dict) -> None:
 
 
 def _bucket_summaries(df) -> dict[str, list]:
-    """Per-bucket [doc_count, sum(_input_hash)] — an order-insensitive
-    content fingerprint of each bucket's doc set.  The decimal(38,0) sum
-    cannot overflow (xxhash64 values are |x| < 2^63; 10^38 headroom) and is
-    serialized as a string so JSON round-trips exactly."""
+    """Per-bucket [doc_count, sum(_input_hash), sum(xxhash64(_input_hash))]
+    — an order-insensitive content fingerprint of each bucket's doc set.
+    The decimal(38,0) sums cannot overflow (xxhash64 values are |x| < 2^63;
+    10^38 headroom) and are serialized as strings so JSON round-trips
+    exactly.
+
+    Two INDEPENDENT hash sums (the raw hash and a re-hash of it), because a
+    single additive sum can collide when multiple doc changes in one bucket
+    cancel out (advice r2): delta_a + delta_b = 0 is a 64-bit coincidence,
+    but the same docs cancelling in the re-hashed space too is a ~128-bit
+    one — cancellation cannot be engineered without breaking xxhash64."""
     rows = df.groupBy("_bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("_input_hash").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.xxhash64(F.col("_input_hash")).cast("decimal(38,0)")).alias("s2"),
     ).collect()
-    return {str(r["_bucket"]): [int(r["n"]), str(r["s"])] for r in rows}
+    return {str(r["_bucket"]): [int(r["n"]), str(r["s"]), str(r["s2"])] for r in rows}
 
 
-_EMPTY_SUM = [0, "0"]
+_EMPTY_SUM = [0, "0", "0"]
 
 
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
@@ -553,7 +561,12 @@ def run_upsert(
     in_sums = _bucket_summaries(prepared.select("_bucket", "_input_hash"))
     committed = store.committed_buckets()
     committed_sums = dict((store.current_manifest() or {}).get("bucket_sums") or {})
-    missing = [b for b in committed if b not in committed_sums]
+    # Buckets with no summary, or a short [n, s] one from pre-s2 code, are
+    # recomputed from their committed data (one pruned aggregate).
+    missing = [b for b in committed
+               if len(committed_sums.get(b) or []) != len(_EMPTY_SUM)]
+    for b in missing:
+        committed_sums.pop(b, None)  # drop short [n, s] entries from pre-s2 code
     if missing:  # pre-summary table: one aggregate over only those buckets
         old = store.read_output(spark, instrumented=True).filter(
             F.col("_bucket").isin([int(b) for b in missing])

@@ -149,6 +149,7 @@ def stream_sessionize(
     output_root: str,
     *,
     gap_minutes: int = SESSION_GAP_MIN,
+    watermark: str = "30 minutes",
     max_files_per_trigger: Optional[int] = None,
     await_termination: bool = True,
 ):
@@ -162,12 +163,21 @@ def stream_sessionize(
     the batch sessionizer gets for free from a window, and exactly what
     distributed per-key state is for.
 
+    State is BOUNDED by ``EventTimeTimeout``: every update arms a timeout at
+    ``session_end + gap`` event time, so once the watermark passes that point
+    with no new events for the user, the open session is flushed as closed
+    and the user's state is removed.  Without this, state grows O(distinct
+    users ever seen) — an idle user's open session would be pinned forever.
+    (A flushed session cannot be reopened retroactively: an even-later event
+    for that user starts a fresh session, same as the gap rule.)
+
     Late-data policy (cross-batch out-of-order events): an event at or
     before the open session's frontier is ABSORBED into the open session
     when it is within the gap of the frontier (it belongs by the gap rule;
-    session_start moves back if needed), and DROPPED when older than that —
-    the watermark-expiry analog.  Without this, a very late event would
-    silently merge into a session it doesn't belong to."""
+    session_start moves back if needed), and DROPPED when older than that.
+    Independently, the ``withWatermark`` below lets Spark drop input rows
+    older than the watermark before they reach the operator — the two rules
+    compose (engine-level drop first, then the gap rule)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -176,6 +186,20 @@ def stream_sessionize(
 
     def sessionize(key, pdf_iter, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            # Watermark passed session_end + gap with no new events: the open
+            # session can never be extended — flush it and free the state.
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -201,7 +225,14 @@ def stream_sessionize(
             else:
                 last = t
                 n += 1
-        state.update((start, last, n))
+        if start is not None:
+            state.update((start, last, n))
+            # Arm the expiry: fires once the watermark passes the earliest
+            # instant the open session could still be extended.  Spark
+            # requires the timestamp to be beyond the current watermark —
+            # clamp for the (late-heavy) case where last + gap already is not.
+            timeout_ms = (last + gap_us) // 1000
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         if closed:
             yield pd.DataFrame(
                 {
@@ -220,13 +251,14 @@ def stream_sessionize(
     ev = (
         reader.parquet(input_path)
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
     )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         sessionize,
         outputStructType=_SESSION_OUT_DDL,
         stateStructType=_SESSION_STATE_DDL,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     query = (
         sessions.writeStream.outputMode("append")

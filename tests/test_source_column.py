@@ -1,7 +1,9 @@
 """Ingestion-source metadata (reference ConversionSource, app/main.py:44-51 +
-1099-1105): the optional `source` input column flows through the Arrow kernel
+1091-1105): the optional `source` input column flows through the Arrow kernel
 and stamps source_filename in the metadata block — upload docs by original
-filename, url docs by URL; absent column keeps output byte-identical."""
+filename, url docs by NULL (the reference stores source.original_name, which
+url-kind never sets: app/main.py:323, 1100-1105); absent column keeps output
+byte-identical."""
 
 from __future__ import annotations
 
@@ -27,7 +29,7 @@ def test_source_filename_upload_and_url():
     assert _meta(up["markdown"])["metadata"]["source_filename"] == "books.xlsx"
     url = extract_document("d2", FX.DOC_WORKBOOK["spans"],
                            {"kind": "url", "value": "https://x/a.pdf", "original_name": None})
-    assert _meta(url["markdown"])["metadata"]["source_filename"] == "https://x/a.pdf"
+    assert _meta(url["markdown"])["metadata"]["source_filename"] is None
 
 
 def test_absent_source_is_byte_identical():
@@ -45,11 +47,15 @@ def test_source_flows_through_spark_kernel(spark):
               .select("doc_id", "markdown").collect()
     assert rows
     by_id = {r["doc_id"]: _meta(r["markdown"])["metadata"]["source_filename"] for r in rows}
+    saw_upload = saw_url = False
     for doc_id, fname in by_id.items():
         idx = int(doc_id.rsplit("-", 1)[1])
         src = source_meta(idx, doc_id)
-        expected = src["original_name"] or src["value"]
-        assert fname == expected
-    # url-kind (idx % 4 == 0) stamps the URL.
-    url_doc = by_id.get("doc-42-00000000")
-    assert url_doc and url_doc.startswith("https://example.org/docs/")
+        assert fname == src["original_name"]  # None for url-kind
+        if src["kind"] == "upload":
+            saw_upload = True
+            assert fname is not None
+        else:
+            saw_url = True
+            assert fname is None
+    assert saw_upload and saw_url

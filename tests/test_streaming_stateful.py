@@ -90,7 +90,11 @@ def test_sessionize_state_spans_batches_and_restarts(spark, tmp_path):
     _write_wave(spark, inp, "w2", [(4, _t(12, 30), 1, "click", 0.0),
                                    (5, _t(10, 10), 2, "view", 0.0)], base + 10)
 
-    stream_sessionize(spark, inp, out, gap_minutes=30, max_files_per_trigger=1)
+    # Huge watermark delay: event-time timeouts can't fire inside this test,
+    # so every emission below is a gap-rule close — isolating the
+    # state-spans-batches/restarts property (expiry has its own test).
+    stream_sessionize(spark, inp, out, gap_minutes=30, watermark="10 hours",
+                      max_files_per_trigger=1)
     got = spark.read.parquet(os.path.join(out, "data")).collect()
     # Exactly ONE closed session: user 1's wave-1 session, emitted in the
     # wave-2 micro-batch — state crossed the batch boundary.
@@ -103,9 +107,48 @@ def test_sessionize_state_spans_batches_and_restarts(spark, tmp_path):
     # Restart the query (same checkpoint) with a wave that closes user 2's
     # session — state survived the restart.
     _write_wave(spark, inp, "w3", [(6, _t(15, 0), 2, "view", 0.0)], base + 20)
-    stream_sessionize(spark, inp, out, gap_minutes=30, max_files_per_trigger=1)
+    stream_sessionize(spark, inp, out, gap_minutes=30, watermark="10 hours",
+                      max_files_per_trigger=1)
     got2 = spark.read.parquet(os.path.join(out, "data"))
     u2 = got2.filter(F.col("user_id") == 2).collect()
     assert len(u2) == 1
     assert u2[0]["n_events"] == 2  # 10:00 + 10:10 from waves 1-2
     assert (u2[0]["session_end"].hour, u2[0]["session_end"].minute) == (10, 10)
+
+
+def test_sessionize_idle_state_expires_and_flushes(spark, tmp_path):
+    """Bounded state: once the watermark passes an idle user's
+    session_end + gap, the open session is EMITTED via EventTimeTimeout and
+    the per-user state is removed — an idle user costs nothing forever after.
+    """
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(inp)
+    base = time.time() - 1000
+    # Wave 1: user 1 opens a session and goes idle.
+    _write_wave(spark, inp, "w1", [(1, _t(10, 0), 1, "click", 0.0),
+                                   (2, _t(10, 5), 1, "click", 0.0)], base)
+    # Wave 2: only user 2, far in the future — ratchets the watermark to
+    # 14:30 (30 min delay), past user 1's 10:35 timeout.
+    _write_wave(spark, inp, "w2", [(3, _t(15, 0), 2, "view", 0.0)], base + 10)
+
+    stream_sessionize(spark, inp, out, gap_minutes=30, watermark="30 minutes",
+                      max_files_per_trigger=1)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    u1 = got.filter(F.col("user_id") == 1).collect()
+    assert len(u1) == 1, "idle user's open session must flush on timeout"
+    assert u1[0]["n_events"] == 2
+    assert (u1[0]["session_end"].hour, u1[0]["session_end"].minute) == (10, 5)
+
+    # User 1 returns AFTER the flush: a fresh session opens (state was
+    # removed, not resurrected) and closes by the gap rule against wave 4.
+    _write_wave(spark, inp, "w3", [(4, _t(16, 0), 1, "click", 0.0)], base + 20)
+    _write_wave(spark, inp, "w4", [(5, _t(20, 0), 1, "click", 0.0)], base + 30)
+    stream_sessionize(spark, inp, out, gap_minutes=30, watermark="30 minutes",
+                      max_files_per_trigger=1)
+    got2 = spark.read.parquet(os.path.join(out, "data"))
+    u1b = sorted(got2.filter(F.col("user_id") == 1).collect(),
+                 key=lambda r: r["session_start"])
+    assert len(u1b) >= 2
+    assert u1b[1]["n_events"] == 1
+    assert (u1b[1]["session_start"].hour, u1b[1]["session_end"].hour) == (16, 16)
