@@ -1,12 +1,14 @@
 """Deterministic synthetic corpus of interleaved-span documents.
 
-Five document families mirroring the reference's upload whitelist
+Six document families covering the reference's whole upload whitelist
 (``app/main.py:1072-1079``: .pdf/.docx/.xlsx/.pptx plus the HTML ingest
 path): HTML-like (boilerplate + main content), PDF-like (positioned blocks,
 tables, images — content plan modeled on the reference's golden generator
 ``test_pdf_generator.py:71-219``), mixed, spreadsheet-like (sheets of cell
-grids, no geometry), and slide-like (placeholder-ordered slide blocks, one
-page per slide).  Generation is a pure function of ``(doc index, seed)`` so the corpus
+grids, no geometry), slide-like (placeholder-ordered slide blocks, one page
+per slide), and word-processing-like (styled flowed blocks: heading
+hierarchy, paragraphs, nested lists, inline tables — no geometry).
+Generation is a pure function of ``(doc index, seed)`` so the corpus
 can be materialized *inside Spark executors* (no driver-side collect) and is
 identical at any partitioning — the property the repartition-invariance tests
 rely on.
@@ -230,18 +232,69 @@ def _slide_doc_spans(rng: random.Random, n_slides: int) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Flow family (.docx analog: styled blocks in document order, no geometry)
+# ---------------------------------------------------------------------------
+
+
+def _flow_doc_spans(rng: random.Random, n_sections: int) -> list[dict]:
+    """Word-processing document: heading hierarchy (title + h2/h3 sections),
+    flowed paragraphs, nested list runs, inline tables, occasional code —
+    ``block={order},{role},{level}`` refs carry the flow order; reading
+    order must be recovered from it (input order is scrambled later)."""
+    spans = []
+    order = 0
+
+    def emit(role: str, text: str, level: int = 0):
+        nonlocal order
+        spans.append({"kind": "flow_block", "text": text,
+                      "media_ref": f"block={order},{role},{level}", "offset": 0})
+        order += 1
+
+    emit("heading", _words(rng, rng.randint(3, 6)).title(), 1)
+    emit("para", _paragraph(rng))
+    for _ in range(n_sections):
+        emit("heading", _words(rng, 3).title(), 2)
+        for _ in range(rng.randint(1, 3)):
+            emit("para", _paragraph(rng))
+        if rng.random() < 0.5:  # h3 subsection
+            emit("heading", _words(rng, 2).title(), 3)
+            emit("para", _paragraph(rng))
+        if rng.random() < 0.7:  # nested list run: depth walks 0..2
+            depth = 0
+            for _ in range(rng.randint(2, 6)):
+                emit("list", _sentence(rng), depth)
+                depth = max(0, min(2, depth + rng.choice([-1, 0, 1, 1])))
+        if rng.random() < 0.35:  # inline table (no geometry)
+            n_cols = rng.randint(2, 4)
+            cells = [[_words(rng, 1) for _ in range(n_cols)]] + [
+                [str(rng.randint(0, 999)) for _ in range(n_cols)]
+                for _ in range(rng.randint(1, 4))
+            ]
+            payload = json.dumps(
+                {"caption": _words(rng, 3).title() if rng.random() < 0.4 else None,
+                 "cells": cells},
+                sort_keys=True,
+            )
+            emit("table", payload)
+        if rng.random() < 0.25:
+            emit("code", f"def s_{order}(v):\n    return v * {rng.randint(2, 9)}")
+    return spans
+
+
+# ---------------------------------------------------------------------------
 # Public corpus API
 # ---------------------------------------------------------------------------
 
-_FAMILY_EXT = [".html", ".pdf", ".pdf", ".xlsx", ".pptx"]  # matches idx % 5 families
+N_FAMILIES = 6
+_FAMILY_EXT = [".html", ".pdf", ".pdf", ".xlsx", ".pptx", ".docx"]  # idx % 6 families
 
 
 def source_meta(idx: int, doc_id: str) -> dict:
     """Deterministic ingestion metadata (reference ConversionSource,
     app/main.py:44-51): every 4th doc arrives by URL, the rest are uploads
     with an original filename.  The extension follows the doc's FAMILY
-    (idx % 5), so filename/URL never contradicts the content."""
-    ext = _FAMILY_EXT[idx % 5]
+    (idx % N_FAMILIES), so filename/URL never contradicts the content."""
+    ext = _FAMILY_EXT[idx % N_FAMILIES]
     if idx % 4 == 0:
         return {"kind": "url", "value": f"https://example.org/docs/{idx}{ext}",
                 "original_name": None}
@@ -257,7 +310,7 @@ def build_doc(idx: int, seed: int = 42, *,
     (plus ``source`` when ``include_source``)."""
     rng = random.Random(f"{seed}:{idx}")
     doc_id = f"doc-{seed}-{idx:08d}"
-    family = idx % 5
+    family = idx % N_FAMILIES
     oversized = oversize_every and idx > 0 and idx % oversize_every == 0
     scale = oversize_factor if oversized else 1
 
@@ -280,8 +333,10 @@ def build_doc(idx: int, seed: int = 42, *,
         spans += _html_doc_spans(rng, n_fragments=1)
     elif family == 3:
         spans = _sheet_doc_spans(rng, n_sheets=rng.randint(1, 4) * scale)
-    else:
+    elif family == 4:
         spans = _slide_doc_spans(rng, n_slides=rng.randint(4, 12) * scale)
+    else:
+        spans = _flow_doc_spans(rng, n_sections=rng.randint(2, 6) * scale)
 
     # Scramble input order (page_dims first to keep parsing simple), then
     # assign strictly increasing offsets — reading order must be recovered

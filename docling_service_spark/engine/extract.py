@@ -28,7 +28,7 @@ from .fastjson import dumps_indent2
 from .html_extract import extract_html_blocks
 
 RAW_KINDS = frozenset(["html", "text_block", "table_block", "image", "page_dims", "page_break",
-                       "sheet_grid", "slide_block"])
+                       "sheet_grid", "slide_block", "flow_block"])
 TEXT_ROLES = frozenset(["text", "heading", "list_item", "code", "caption"])
 
 # Slide placeholder role → (output block kind, heading level).  Mirrors the
@@ -135,6 +135,30 @@ def _collect_blocks(spans: list[dict], pages: dict[int, tuple[float, float]]) ->
             slide_no, order, role = G.parse_slide_ref(ref)
             out_kind, level = SLIDE_ROLE_MAP[role]
             blocks.append(_Block((slide_no, float(order), 0.0, off, 0), out_kind, text, level))
+        elif kind == "flow_block":
+            # Word-processing family (.docx analog, whitelist
+            # app/main.py:1072-1079): styled blocks — heading hierarchy,
+            # paragraphs, nested list items, inline tables — flow in
+            # document order with NO geometry; pages stay undeclared until
+            # pagination, so pure flow docs render without page markers
+            # (same no-pages rule as spreadsheets).  All blocks sort on the
+            # flow order within logical page 1.
+            order, role, level = G.parse_flow_ref(ref)
+            key = (1, float(order), 0.0, off, 0)
+            if role == "table":
+                try:
+                    payload = json.loads(text)
+                    cells = payload["cells"]
+                    caption = payload.get("caption")
+                except (json.JSONDecodeError, TypeError, KeyError) as exc:
+                    raise G.MediaRefError(f"malformed flow table payload: {exc}") from exc
+                box = G.BBox(page=1, x=0.0, y=0.0, width=0.0, height=0.0,
+                             coord_origin=G.TOPLEFT)
+                blocks.append(_Block(key, "table", "", 0, box, (cells, caption)))
+            else:
+                out_kind = {"heading": "heading", "para": "text",
+                            "list": "list_item", "code": "code"}[role]
+                blocks.append(_Block(key, out_kind, text, level))
         else:
             raise G.MediaRefError(f"unknown raw span kind {kind!r}")
     return blocks
@@ -199,7 +223,9 @@ def _render_block(kind: str, text: str, level: int, media_ref: str) -> str:
     if kind == "heading":
         return "#" * max(level, 1) + " " + text
     if kind == "list_item":
-        return "- " + text
+        # level = nesting depth (flow docs); html/slide items are depth 0,
+        # so their rendering is unchanged.
+        return "  " * level + "- " + text
     if kind == "code":
         return f"```\n{text}\n```"
     if kind == "image":

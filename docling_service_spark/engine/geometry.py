@@ -126,6 +126,45 @@ def parse_slide_ref(media_ref: str) -> tuple[int, int, str]:
     return n, order, role
 
 
+FLOW_ROLES = ("heading", "para", "list", "code", "table")
+_FLOW_MAX_HEADING = 6
+_FLOW_MAX_LIST_DEPTH = 8
+
+
+def parse_flow_ref(media_ref: str) -> tuple[int, str, int]:
+    """``flow_block`` media_ref: ``"block={order},{role},{level}"``.
+
+    Word-processing documents (reference whitelist ``.docx``,
+    app/main.py:1072-1079): styled blocks flow in document order with NO
+    geometry and no pages until pagination — ``order`` is the block's
+    position in the flow.  ``level`` is the heading level (1-6) for
+    ``heading`` and the nesting depth (0-8) for ``list``; must be 0 for
+    the other roles."""
+    if not media_ref.startswith("block="):
+        raise MediaRefError(f"flow_block media_ref must be 'block=N,role,level': {media_ref!r}")
+    parts = media_ref[len("block="):].split(",")
+    if len(parts) != 3:
+        raise MediaRefError(f"flow_block media_ref needs 3 fields: {media_ref!r}")
+    try:
+        order, level = int(parts[0]), int(parts[2])
+    except ValueError as exc:
+        raise MediaRefError(f"bad flow order/level in {media_ref!r}") from exc
+    role = parts[1]
+    if order < 0:
+        raise MediaRefError(f"flow order must be >= 0: {media_ref!r}")
+    if role not in FLOW_ROLES:
+        raise MediaRefError(f"unknown flow role {role!r}")
+    if role == "heading":
+        if not 1 <= level <= _FLOW_MAX_HEADING:
+            raise MediaRefError(f"heading level must be 1-{_FLOW_MAX_HEADING}: {media_ref!r}")
+    elif role == "list":
+        if not 0 <= level <= _FLOW_MAX_LIST_DEPTH:
+            raise MediaRefError(f"list depth must be 0-{_FLOW_MAX_LIST_DEPTH}: {media_ref!r}")
+    elif level != 0:
+        raise MediaRefError(f"level must be 0 for role {role!r}: {media_ref!r}")
+    return order, role, level
+
+
 def parse_image_ref(media_ref: str) -> tuple[BBox, int, int, str]:
     parts = media_ref.split(",", 8)
     if len(parts) != 9:

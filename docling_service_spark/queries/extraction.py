@@ -190,11 +190,82 @@ FROM documents
 """
 
 
+def q64_extract_flowdoc(spark, sf_dir):
+    """documents → styled flowed-blocks doc (.docx analog; reference
+    whitelist app/main.py:1072-1079) → real flow_block extraction path.
+
+    Spans are fed in SCRAMBLED array order (list, table, heading, para,
+    list) — the extractor must recover document order from the flow-order
+    refs alone.  The nested list's markdown indentation is checked via the
+    markdown column (nesting depth renders as two spaces per level), and
+    the inline no-geometry table via its rendered grid + metadata."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).cast("string")
+    table_payload = F.to_json(F.struct(
+        F.array(
+            F.array(F.lit("k"), F.lit("v")),
+            F.array(F.lit("lang"), F.col("lang")),
+            F.array(F.lit("doc"), F.col("doc_id").cast("string")),
+        ).alias("cells"),
+    ))
+
+    def span(text_col, ref, off):
+        return F.struct(
+            F.lit("flow_block").alias("kind"), text_col.alias("text"),
+            F.lit(ref).alias("media_ref"), F.lit(off).cast("int").alias("offset"),
+        )
+
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(  # scrambled: flow order is 3, 4, 0, 1, 2
+            span(F.concat(F.lit("tokens: "), ntok), "block=3,list,1", 0),
+            span(table_payload, "block=4,table,0", 1),
+            span(F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
+                 "block=0,heading,1", 2),
+            span(F.col("text"), "block=1,para,0", 3),
+            span(F.col("lang"), "block=2,list,0", 4),
+        ).alias("spans"),
+    )
+    out = strip_instrumentation(run_extraction(corpus))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "status",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.element_at("spans", 1)["text"].alias("heading_text"),
+        F.element_at("spans", 2)["text"].alias("body_text"),
+        # markdown chunk 4 = the depth-1 list item: two-space indent.
+        F.element_at(F.split("markdown", "\n\n"), 4).alias("nested_md"),
+        F.element_at("spans", 5)["text"].alias("table_md"),
+        F.element_at("tables", 1)["num_rows"].cast("bigint").alias("num_rows"),
+        F.element_at("tables", 1)["num_cols"].cast("bigint").alias("num_cols"),
+        F.size("pages").cast("bigint").alias("n_pages"),
+    )
+
+
+ORACLE_Q64 = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS VARCHAR) AS n
+  FROM documents)
+SELECT doc_id, 'completed' AS status, CAST(5 AS BIGINT) AS n_spans,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS heading_text,
+       text AS body_text,
+       '  - tokens: ' || n AS nested_md,
+       '| k | v |' || chr(10) || '|---|---|' || chr(10) ||
+         '| lang | ' || lang || ' |' || chr(10) ||
+         '| doc | ' || CAST(doc_id AS VARCHAR) || ' |' AS table_md,
+       CAST(3 AS BIGINT) AS num_rows, CAST(2 AS BIGINT) AS num_cols,
+       CAST(0 AS BIGINT) AS n_pages
+FROM t
+"""
+
+
 EXTRACTION_QUERIES = {
     "q60_extract_corpus": q60_extract_corpus,
     "q61_extract_html_docs": q61_extract_html_docs,
     "q62_extract_spreadsheet": q62_extract_spreadsheet,
     "q63_extract_slides": q63_extract_slides,
+    "q64_extract_flowdoc": q64_extract_flowdoc,
 }
 
 # q60 is intentionally oracle-less (full custom dataflow); the driver records
@@ -203,4 +274,5 @@ EXTRACTION_ORACLES = {
     "q61_extract_html_docs": ORACLE_Q61,
     "q62_extract_spreadsheet": ORACLE_Q62,
     "q63_extract_slides": ORACLE_Q63,
+    "q64_extract_flowdoc": ORACLE_Q64,
 }

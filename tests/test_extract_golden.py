@@ -186,6 +186,43 @@ def test_deck_markdown_and_pages():
     ]
 
 
+# --- flow family (.docx analog; round-3: last whitelist member) -------------------
+
+def test_memo_golden_sequence():
+    r = extract_document(FX.DOC_MEMO["doc_id"], FX.DOC_MEMO["spans"])
+    assert r["status"] == "completed"
+    assert seq(r) == FX.GOLDEN_MEMO_SPANS
+    assert [s["offset"] for s in r["spans"]] == list(range(len(FX.GOLDEN_MEMO_SPANS)))
+
+
+def test_memo_markdown_nesting_and_no_pages():
+    r = extract_document(FX.DOC_MEMO["doc_id"], FX.DOC_MEMO["spans"])
+    # Hand-derived golden: heading levels 1/2/3 and list depth indentation.
+    assert r["markdown"].startswith(FX.GOLDEN_MEMO_MD_PREFIX)
+    assert "### Appendix" in r["markdown"]
+    assert "```\ndef rate(n, s):\n    return n / s\n```" in r["markdown"]
+    # No geometry: no pages, no markers; inline table metadata is zero-box.
+    assert r["pages"] == []
+    assert "<!-- Page" not in r["markdown"]
+    assert [(t["num_rows"], t["num_cols"], t["caption"]) for t in r["tables"]] \
+        == [(3, 3, "Latency")]
+    assert r["tables"][0]["x"] == 0.0 and r["tables"][0]["width"] == 0.0
+
+
+def test_flow_malformed_refs_fail():
+    bad = [
+        {"kind": "flow_block", "text": "x", "media_ref": "block=0,banner,0", "offset": 0},
+        {"kind": "flow_block", "text": "x", "media_ref": "block=0,heading,7", "offset": 0},
+        {"kind": "flow_block", "text": "x", "media_ref": "block=0,para,1", "offset": 0},
+        {"kind": "flow_block", "text": "x", "media_ref": "block=-1,para,0", "offset": 0},
+        {"kind": "flow_block", "text": "not json", "media_ref": "block=0,table,0", "offset": 0},
+        {"kind": "flow_block", "text": "x", "media_ref": "slide=1,0,para", "offset": 0},
+    ]
+    for span in bad:
+        with pytest.raises(MediaRefError):
+            extract_document("d", [span])
+
+
 def test_sheet_and_slide_malformed_refs_fail():
     bad_sheet = {"kind": "sheet_grid", "text": "{not json", "media_ref": "sheet=1", "offset": 0}
     with pytest.raises(MediaRefError):

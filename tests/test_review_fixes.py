@@ -124,7 +124,7 @@ def test_vacuum_sweeps_stale_commit_tmps(spark, tmp_path):
 def test_source_extension_matches_family():
     for idx in range(20):
         src = source_meta(idx, f"doc-42-{idx:08d}")
-        ext = _FAMILY_EXT[idx % 5]
+        ext = _FAMILY_EXT[idx % len(_FAMILY_EXT)]
         assert (src["original_name"] or src["value"]).endswith(ext)
 
 
