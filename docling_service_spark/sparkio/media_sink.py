@@ -104,6 +104,88 @@ def upload_media(corpus_df: DataFrame, base_path: Optional[str],
         work.unpersist()
 
 
+# ---------------------------------------------------------------------------
+# Markdown-blob upload sink (reference app/main.py:855-868 + 1115-1117)
+# ---------------------------------------------------------------------------
+
+
+def markdown_filename(doc_id: str, original_name: Optional[str]) -> str:
+    """Reference naming (app/main.py:860-862): the source's original name
+    when present, else ``{task_id}.md``; ``.md`` appended when missing."""
+    filename = original_name or f"{doc_id}.md"
+    if not filename.endswith(".md"):
+        filename = f"{filename}.md"
+    return filename
+
+
+def markdown_key(doc_id: str, original_name: Optional[str] = None) -> str:
+    """``markdown/{task_id}/{filename}`` (app/main.py:864) with doc_id as
+    the engine's task identity."""
+    return f"markdown/{doc_id}/{markdown_filename(doc_id, original_name)}"
+
+
+def _markdown_worklist(output_df: DataFrame,
+                       names_df: Optional[DataFrame] = None) -> DataFrame:
+    """(doc_id, key, markdown) for every completed doc.  ``names_df``
+    (doc_id, original_name) supplies upload filenames; url-kind and
+    unnamed docs fall back to ``{doc_id}.md`` like the reference."""
+    work = output_df.filter(F.col("status") == "completed") \
+                    .select("doc_id", "markdown")
+    if names_df is not None:
+        work = work.join(F.broadcast(names_df.select("doc_id", "original_name")),
+                         "doc_id", "left")
+    else:
+        work = work.withColumn("original_name", F.lit(None).cast("string"))
+    fname = F.coalesce(F.col("original_name"), F.concat(F.col("doc_id"), F.lit(".md")))
+    fname = F.when(fname.endswith(".md"), fname).otherwise(F.concat(fname, F.lit(".md")))
+    return work.select(
+        "doc_id",
+        F.concat(F.lit("markdown/"), F.col("doc_id"), F.lit("/"), fname).alias("key"),
+        "markdown",
+    )
+
+
+def upload_markdown(output_df: DataFrame, base_path: Optional[str] = None,
+                    names_df: Optional[DataFrame] = None,
+                    store_factory=None) -> int:
+    """Upload every completed doc's markdown blob through the MediaStore;
+    returns the upload count.
+
+    Unlike the content-addressed image sink, markdown keys are
+    DOC-addressed (``markdown/{doc_id}/...``) and an upsert legitimately
+    changes the bytes behind a key — so puts are unconditional
+    last-writer-wins (the reference's ``storage_backend.upload`` never
+    exists-checks markdown either, app/main.py:866), which also makes
+    re-runs idempotent: same input ⇒ same bytes.
+    """
+    work = _markdown_worklist(output_df, names_df).persist()
+
+    def sink(rows) -> None:
+        from ..storage import make_store
+
+        store = store_factory() if store_factory is not None else make_store(base_path)
+        for row in rows:
+            store.put_bytes(row["key"], row["markdown"].encode("utf-8"))
+
+    try:
+        work.foreachPartition(sink)
+        return work.count()
+    finally:
+        work.unpersist()
+
+
+def markdown_urls(output_df: DataFrame, store,
+                  names_df: Optional[DataFrame] = None) -> DataFrame:
+    """(doc_id, markdown_url) — the reference's derived public URL
+    (app/main.py:866 → url_for), computed WITHOUT touching the sink: every
+    backend's url_for is prefix+key, so the prefix comes from one driver-side
+    call and the key is a column expression."""
+    prefix = store.url_for("")
+    return _markdown_worklist(output_df, names_df).select(
+        "doc_id", F.concat(F.lit(prefix), F.col("key")).alias("markdown_url")
+    )
+
+
 def media_dedup_stats(corpus_df: DataFrame) -> DataFrame:
     """Dedup ratio report (migration `stats` analog, r2_migrate:173-179)."""
     spans = corpus_df.select(F.explode("spans").alias("s"))

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     ap.add_argument("--callback-log", default=None,
                     help="post-commit hook sink: append the completion payload as a JSON "
                          "line to this file on commit, no-op, and failure (webhook analog)")
+    ap.add_argument("--markdown-store", default=None,
+                    help="upload this run's completed markdown blobs under "
+                         "markdown/{doc_id}/{filename} at this store path "
+                         "(reference app/main.py:855-868)")
     args = ap.parse_args(argv)
     if (args.input is None) == (args.n_docs is None):
         ap.error("exactly one of --input / --n-docs is required")
@@ -127,6 +131,22 @@ def main(argv=None) -> int:
         "run_wall_sec": round(wall, 2),
         "docs_per_sec": round(summary["docs"] / wall, 2) if wall > 0 else None,
     }
+    if args.markdown_store:
+        # Only this run's rows (bucket dirs under data/run={id}) — uploads are
+        # doc-addressed last-writer-wins, so re-runs and upserts stay correct.
+        report["markdown_uploaded"] = 0
+        if summary["snapshot_id"] is not None:
+            import os
+
+            from docling_service_spark.sparkio.batch import INSTRUMENTED_DDL
+            from docling_service_spark.sparkio.media_sink import upload_markdown
+            from docling_service_spark.sparkio.pipeline import strip_instrumentation
+
+            run_dir = os.path.join(args.output, "data", f"run={summary['run_id']}")
+            written = strip_instrumentation(
+                spark.read.schema(INSTRUMENTED_DDL).parquet(run_dir)
+            )
+            report["markdown_uploaded"] = upload_markdown(written, args.markdown_store)
     print(json.dumps(report))
     spark.stop()
     return 0
