@@ -36,9 +36,11 @@ BENCH_QUERIES = [
     "q34_simhash",
     "q40_cosine_topk",
     "q42_lsh_bucketed_neighbors",
+    "q44_ivf_assignments",
     "q50_media_features",
     "q61_extract_html_docs",
     "q62_extract_spreadsheet",
+    "q64_extract_flowdoc",
 ]
 
 

@@ -119,16 +119,41 @@ def q31_ngram_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(docs)
 
 
-def jaccard_pairs(docs, *, max_df: int = MAX_SHINGLE_DF, min_jaccard_e4: int = JACCARD_MIN_E4):
+def jaccard_pairs(docs, *, max_df: int = MAX_SHINGLE_DF, min_jaccard_e4: int = JACCARD_MIN_E4,
+                  df_sample_mod: int = 1):
     """Core of q31 over any (doc_id, text) DataFrame — exposed so tests can
-    drive the stop-shingle cap with a synthetic hot shingle."""
+    drive the stop-shingle cap with a synthetic hot shingle.
+
+    ``df_sample_mod`` selects how document frequency is measured:
+
+    - 1 (default, the driver query): EXACT DF — one linear groupBy over all
+      shingles.  Defensible but a full extra shuffle of the shingle set.
+    - m > 1 (the 100-TB path): DF estimated on the deterministic 1/m doc
+      slice ``hash60(doc_id) % m == 0`` and a shingle is dropped when its
+      SAMPLED df exceeds ``max_df / m``.  The DF shuffle shrinks ~m×; a
+      boilerplate shingle (true DF ≫ max_df) appears in the slice ~DF/m
+      times, far above the scaled threshold, so hot shingles are still
+      caught, while rare shingles (the signal) almost never reach it.  The
+      rule is a deterministic function of the data — an oracle CAN replicate
+      it — and dropping shingles only shrinks intersections, so jaccard_e4
+      stays a true lower bound either way (no false positives, only possibly
+      lost borderline pairs; same contract as the exact cap)."""
     sh = _shingle_rows(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    df_ok = (
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df).select("shingle")
-    )
-    sh = sh.join(df_ok, "shingle")  # drop stop-shingles before the quadratic join
+    if df_sample_mod > 1:
+        sampled = sh.filter(_hash60(F.col("doc_id").cast("string")) % df_sample_mod == 0)
+        threshold = max(1, max_df // df_sample_mod)
+        df_hot = (
+            sampled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > threshold).select("shingle")
+        )
+        sh = sh.join(df_hot, "shingle", "left_anti")  # drop only detected-hot shingles
+    else:
+        df_ok = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df).select("shingle")
+        )
+        sh = sh.join(df_ok, "shingle")  # drop stop-shingles before the quadratic join
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

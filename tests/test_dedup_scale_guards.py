@@ -50,6 +50,27 @@ def test_cap_preserves_true_near_dups(spark):
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
 
 
+def test_sampled_df_catches_hot_shingles(spark):
+    # 100-TB path: DF estimated on a deterministic 1/4 doc slice. 200 docs
+    # share one boilerplate shingle — it shows up ~50 times in the slice,
+    # far above the scaled threshold (32/4 = 8), and is dropped.
+    rows = [(i, f"copyright footer boilerplate unique{i} tail{i}") for i in range(200)]
+    out = jaccard_pairs(_docs(spark, rows), min_jaccard_e4=1, df_sample_mod=4)
+    assert out.count() == 0
+
+
+def test_sampled_df_preserves_true_near_dups(spark):
+    # Rare shingles (true DF ~2) never reach the scaled threshold, so real
+    # near-dup pairs survive the sampled cap with EXACT intersection counts.
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, base), (2, base + " extra"), (3, "totally different words entirely here")]
+    exact = {(r.id_a, r.id_b, r.n_shared, r.jaccard_e4)
+             for r in jaccard_pairs(_docs(spark, rows)).collect()}
+    sampled = {(r.id_a, r.id_b, r.n_shared, r.jaccard_e4)
+               for r in jaccard_pairs(_docs(spark, rows), df_sample_mod=4).collect()}
+    assert sampled == exact == {(1, 2, next(iter(exact))[2], next(iter(exact))[3])}
+
+
 def test_cap_bounds_join_rows_not_scores(spark):
     # Docs overlapping only via sub-cap shingles keep exact intersection
     # counts; sizes use the UNCAPPED sets (score is a lower bound).
