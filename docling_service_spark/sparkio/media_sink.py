@@ -132,8 +132,11 @@ def _markdown_worklist(output_df: DataFrame,
     work = output_df.filter(F.col("status") == "completed") \
                     .select("doc_id", "markdown")
     if names_df is not None:
-        work = work.join(F.broadcast(names_df.select("doc_id", "original_name")),
-                         "doc_id", "left")
+        # NOT broadcast: names_df is one row per doc (same cardinality as the
+        # output), so at scale this is an equi-join on doc_id that AQE plans
+        # as SMJ/shuffle-hash; forcing broadcast would ship the whole corpus'
+        # names to every task.
+        work = work.join(names_df.select("doc_id", "original_name"), "doc_id", "left")
     else:
         work = work.withColumn("original_name", F.lit(None).cast("string"))
     fname = F.coalesce(F.col("original_name"), F.concat(F.col("doc_id"), F.lit(".md")))

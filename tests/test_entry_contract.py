@@ -25,10 +25,22 @@ def duck():
 
 
 def _canon_rows(cols, rows):
+    import decimal
+
     def norm(v):
+        # Type-tagged: Python's cross-type numeric equality (Decimal('730.00')
+        # == 730.0) let round-2's q18 decimal-vs-double mismatch pass pytest
+        # while the driver's value-hash (type-sensitive) failed it.  Tagging
+        # the numeric class makes this mirror as strict as the driver.
+        if isinstance(v, bool):
+            return ("b", v)
         if isinstance(v, float):
-            return round(v, 9)
-        return v
+            return ("f", round(v, 9))
+        if isinstance(v, decimal.Decimal):
+            return ("d", v)
+        if isinstance(v, int):
+            return ("i", v)
+        return ("o", v)
 
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     # repr-keyed sort: null-safe (ROLLUP rows carry None group keys) and
