@@ -293,9 +293,11 @@ def extract_document(doc_id: str, spans: Optional[list[dict]],
     ``status='failed'`` rows (mirrors reference app/main.py:338-345).
 
     ``source`` is optional ingestion metadata (reference ConversionSource,
-    app/main.py:44-51): upload-kind docs stamp their original filename into
-    the metadata block, url-kind docs their URL; absent → doc_id (so the
-    no-source output is byte-identical to before).
+    app/main.py:44-51): the metadata block stamps ``source.original_name``
+    verbatim — upload-kind docs their original filename, url-kind docs NULL
+    (the reference never sets original_name for URLs, app/main.py:1100-1105);
+    absent column → doc_id (so the no-source output is byte-identical to
+    before the column existed).
     """
     if spans is None:
         raise ValueError("document has no spans")

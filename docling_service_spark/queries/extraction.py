@@ -233,8 +233,10 @@ def q64_extract_flowdoc(spark, sf_dir):
         F.size("spans").cast("bigint").alias("n_spans"),
         F.element_at("spans", 1)["text"].alias("heading_text"),
         F.element_at("spans", 2)["text"].alias("body_text"),
-        # markdown chunk 4 = the depth-1 list item: two-space indent.
-        F.element_at(F.split("markdown", "\n\n"), 4).alias("nested_md"),
+        # The depth-1 list item renders with a two-space indent — extracted
+        # by an ANCHORED line regex, not a chunk index, so multi-paragraph
+        # document text (blank lines) can never shift what this column sees.
+        F.regexp_extract("markdown", r"(?m)^(  - tokens: \d+)$", 1).alias("nested_md"),
         F.element_at("spans", 5)["text"].alias("table_md"),
         F.element_at("tables", 1)["num_rows"].cast("bigint").alias("num_rows"),
         F.element_at("tables", 1)["num_cols"].cast("bigint").alias("num_cols"),

@@ -398,13 +398,15 @@ def run_incremental(
 
 
 def _run_with_hook(spark, store, prepared, root, buckets, run_id, on_complete, *,
-                   num_partitions, allow_overwrite, n_buckets, max_doc_bytes=None) -> dict:
+                   num_partitions, allow_overwrite, n_buckets, max_doc_bytes=None,
+                   extra_bucket_sums=None) -> dict:
     try:
         summary = _process_and_commit(spark, store, prepared, root, buckets, run_id,
                                       num_partitions=num_partitions,
                                       allow_overwrite=allow_overwrite,
                                       n_buckets=n_buckets,
-                                      max_doc_bytes=max_doc_bytes)
+                                      max_doc_bytes=max_doc_bytes,
+                                      extra_bucket_sums=extra_bucket_sums)
     except Exception as exc:
         notify_completion(on_complete, {
             "run_id": run_id, "snapshot_id": None, "buckets": list(buckets), "docs": 0,
@@ -477,7 +479,7 @@ _EMPTY_SUM = [0, "0", "0"]
 
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
                         num_partitions, allow_overwrite, n_buckets,
-                        max_doc_bytes=None) -> dict:
+                        max_doc_bytes=None, extra_bucket_sums=None) -> dict:
     # Per-stage walls (verdict item: scan-vs-python-vs-write visibility for
     # 100x plan audits).  extract_and_write is one fused Spark action — the
     # scan, the Python extraction and the parquet write pipeline together by
@@ -501,6 +503,13 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     for b in buckets:  # a wholesale-deleted bucket has zero rows: record it
         bucket_sums.setdefault(str(b), list(_EMPTY_SUM))
     docs = sum(v[0] for v in bucket_sums.values())
+    if extra_bucket_sums:
+        # Summaries recomputed for CLEAN buckets (pre-s2 manifests): carried
+        # in this commit so the next upsert's no-op detection is O(manifest)
+        # again — without this, migrated tables re-aggregate their committed
+        # data on EVERY upsert, forever.  Merged first: the dirty buckets'
+        # fresh sums must win.
+        bucket_sums = {**extra_bucket_sums, **bucket_sums}
     timings["summarize_ms"] = int((time.perf_counter() - t0) * 1000)
     t0 = time.perf_counter()
 
@@ -580,12 +589,23 @@ def run_upsert(
         if in_sums.get(str(b), _EMPTY_SUM)
         != (committed_sums.get(str(b), _EMPTY_SUM) if str(b) in committed else _EMPTY_SUM)
     )
+    recomputed = {b: committed_sums[b] for b in missing if b in committed_sums}
     if not dirty_buckets:
-        summary = {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0}
+        snapshot_id = None
+        if recomputed:
+            # Metadata-only commit (bucket→run mapping unchanged): persist the
+            # summaries recomputed for pre-s2 manifests so the NEXT no-op
+            # upsert reads zero data files again, instead of re-aggregating
+            # the committed table on every cron run forever.
+            snapshot_id = store.commit([], run_id, allow_overwrite=True,
+                                       n_buckets=n_buckets, bucket_sums=recomputed)
+        summary = {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": [], "docs": 0}
         notify_completion(on_complete, {**summary, "status": "noop", "detail": None})
         return summary
 
     todo_input = prepared.filter(F.col("_bucket").isin(dirty_buckets))
+    clean_recomputed = {b: s for b, s in recomputed.items() if int(b) not in dirty_buckets}
     return _run_with_hook(spark, store, todo_input, root, dirty_buckets, run_id, on_complete,
                           num_partitions=num_partitions, allow_overwrite=True,
-                          n_buckets=n_buckets, max_doc_bytes=max_doc_bytes)
+                          n_buckets=n_buckets, max_doc_bytes=max_doc_bytes,
+                          extra_bucket_sums=clean_recomputed or None)

@@ -146,7 +146,16 @@ def main(argv=None) -> int:
             written = strip_instrumentation(
                 spark.read.schema(INSTRUMENTED_DDL).parquet(run_dir)
             )
-            report["markdown_uploaded"] = upload_markdown(written, args.markdown_store)
+            # Reference naming needs the source's original filename when the
+            # corpus carries one (app/main.py:860-864); without the column,
+            # blobs fall back to {doc_id}.md.
+            names = None
+            if "source" in inp.columns:
+                from pyspark.sql import functions as F
+                names = inp.select("doc_id",
+                                   F.col("source.original_name").alias("original_name"))
+            report["markdown_uploaded"] = upload_markdown(
+                written, args.markdown_store, names_df=names)
     print(json.dumps(report))
     spark.stop()
     return 0

@@ -150,11 +150,11 @@ def build_appendix() -> str:
     if hist_path.exists():
         with open(hist_path) as f:
             rows = [json.loads(line) for line in f if line.strip()]
-    if not rows:
-        return ""
     # Pre-session-fix samples measured an oversubscribed sham (see narrative
     # below) — excluded from the post-fix spread, preserved in history.jsonl.
     rows = [r for r in rows if "PRE-FIX" not in (r.get("note") or "")]
+    if not rows:
+        return ""
     for r in rows:  # older records carry only the raw eff + calibration
         if "hw_ceiling_4_16" not in r:
             calib = {int(k): v for k, v in r["calibration"].items()}

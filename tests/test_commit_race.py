@@ -106,6 +106,14 @@ def test_legacy_manifest_without_bucket_sums_falls_back(spark, tmp_path):
     m = json.load(open(mpath))
     del m["bucket_sums"]
     json.dump(m, open(mpath, "w"))
-    # Fallback recomputes summaries from the committed table: still a no-op.
+    # Fallback recomputes summaries from the committed table: still a no-op
+    # for data, but the recomputed summaries PERSIST via a metadata-only
+    # commit (round-3 fix: without it every later upsert re-aggregates the
+    # whole table), so the snapshot advances while buckets stay untouched.
     r = run_upsert(spark, df, root, n_buckets=4, num_partitions=2, run_id="v2")
-    assert r["snapshot_id"] is None
+    assert r["buckets"] == [] and r["docs"] == 0
+    assert r["snapshot_id"] == 2
+    assert store.current_manifest()["buckets"] == m["buckets"]  # mapping unchanged
+    # With summaries persisted, the next upsert is a PURE no-op again.
+    r2 = run_upsert(spark, df, root, n_buckets=4, num_partitions=2, run_id="v3")
+    assert r2["snapshot_id"] is None and r2["buckets"] == []
