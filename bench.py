@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "q03_dedup_first_wins",
     "q09_revenue_by_nation",
     "q20_token_stats",
+    "q24_chunking",
+    "q26_vocabulary",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_signatures",
     "q33_lsh_candidate_pairs",

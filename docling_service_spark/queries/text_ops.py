@@ -1,5 +1,7 @@
 """Text-analysis operators for training-data pipelines (task brief: langid,
-quality scoring, token counting, fingerprinting) over the ``documents`` table.
+quality scoring, token counting, fingerprinting — plus sliding-window
+chunking, PII-pattern redaction, and corpus vocabulary build) over the
+``documents`` table.
 
 All JVM-side (`pyspark.sql.functions` only — no Python in the hot path); every
 score is integer-scaled (`floor(x*10^k)`) so cross-engine hashes are exact.
@@ -134,11 +136,157 @@ FROM documents
 """
 
 
+# --- q24: sliding-window chunking (training-sample construction) -----------------
+
+CHUNK_TOKENS = 64   # window size
+CHUNK_STRIDE = 48   # overlap = 16 tokens
+
+
+def q24_chunking(spark, sf_dir):
+    """Token-window chunking with overlap — the training-sample constructor:
+    every doc becomes ceil((n-W)/S)+1 chunks of ≤W tokens at stride S.
+
+    All JVM-side: tokens materialize ONCE as a column (lambda-inlining
+    trap), chunks are sliced INSIDE a transform and then ``posexplode``d —
+    exploding chunk ids first and slicing after would carry the whole token
+    array into every exploded row (O(n²/S) bytes per doc); slicing first
+    keeps it at the output size, O(n·W/S).  No Python, no shuffle (chunking
+    is embarrassingly row-local)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("toks", i * CHUNK_STRIDE + 1, CHUNK_TOKENS),
+    )
+    exploded = toks.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+        F.size("chunk").cast("bigint").alias("chunk_tokens"),
+    )
+
+
+ORACLE_Q24 = rf"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+              ELSE CAST(FLOOR((len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                              / {CHUNK_STRIDE}) AS BIGINT) + 1 END AS n_chunks
+  FROM t),
+e AS (SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                  chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                           chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT) AS chunk_tokens
+FROM e
+"""
+
+
+# --- q25: pattern redaction (PII-style scrubbing) ---------------------------------
+
+# The synthetic corpus carries no emails/URLs, so the query INJECTS a
+# deterministic contact line per doc before scrubbing — the redaction is then
+# non-vacuous (round-1 lesson: a 0-rows-affected oracle row carries no
+# signal) and both engines construct and scrub the identical string.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_URL_RE = "https?://[^ ]+"
+
+
+def q25_redaction(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        "text",
+        F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" see https://docs.example.org/item/"), F.col("doc_id").cast("string"),
+    )
+    masked = F.regexp_replace(F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>"),
+                              _URL_RE, "<URL>")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.regexp_count(dirty, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(dirty, F.lit(_URL_RE)).cast("bigint").alias("n_urls"),
+        F.md5(masked).alias("masked_md5"),
+        F.length(masked).cast("bigint").alias("masked_len"),
+    )
+
+
+ORACLE_Q25 = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' see https://docs.example.org/item/' || CAST(doc_id AS VARCHAR) AS dirty
+  FROM documents),
+m AS (SELECT doc_id, dirty,
+             regexp_replace(regexp_replace(dirty, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_URL_RE}', '<URL>', 'g') AS masked
+      FROM d)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       md5(masked) AS masked_md5,
+       CAST(length(masked) AS BIGINT) AS masked_len
+FROM m
+"""
+
+
+# --- q26: corpus vocabulary (term/document frequency, top terms) ------------------
+
+VOCAB_TOP = 100
+
+
+def q26_vocabulary(spark, sf_dir):
+    """Corpus-level vocabulary build: one explode + one groupBy(token) with
+    map-side partial aggregation (tf = count, df = distinct docs), top-k by
+    (tf DESC, token ASC) for a deterministic cut.  The shuffle key is the
+    token — uniform enough after the explode that no salting is needed; at
+    100 TB this is the canonical word-count shape."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("token"),
+    )
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(VOCAB_TOP)
+
+
+ORACLE_Q26 = rf"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+  FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok GROUP BY token
+ORDER BY tf DESC, token ASC LIMIT {VOCAB_TOP}
+"""
+
+
 QUERIES = {
     "q20_token_stats": q20_token_stats,
     "q21_quality_score": q21_quality_score,
     "q22_langid": q22_langid,
     "q23_fingerprint": q23_fingerprint,
+    "q24_chunking": q24_chunking,
+    "q25_redaction": q25_redaction,
+    "q26_vocabulary": q26_vocabulary,
 }
 
 ORACLES = {
@@ -146,4 +294,7 @@ ORACLES = {
     "q21_quality_score": ORACLE_Q21,
     "q22_langid": ORACLE_Q22,
     "q23_fingerprint": ORACLE_Q23,
+    "q24_chunking": ORACLE_Q24,
+    "q25_redaction": ORACLE_Q25,
+    "q26_vocabulary": ORACLE_Q26,
 }
