@@ -399,14 +399,15 @@ def run_incremental(
 
 def _run_with_hook(spark, store, prepared, root, buckets, run_id, on_complete, *,
                    num_partitions, allow_overwrite, n_buckets, max_doc_bytes=None,
-                   extra_bucket_sums=None) -> dict:
+                   extra_bucket_sums=None, carry_rows=None) -> dict:
     try:
         summary = _process_and_commit(spark, store, prepared, root, buckets, run_id,
                                       num_partitions=num_partitions,
                                       allow_overwrite=allow_overwrite,
                                       n_buckets=n_buckets,
                                       max_doc_bytes=max_doc_bytes,
-                                      extra_bucket_sums=extra_bucket_sums)
+                                      extra_bucket_sums=extra_bucket_sums,
+                                      carry_rows=carry_rows)
     except Exception as exc:
         notify_completion(on_complete, {
             "run_id": run_id, "snapshot_id": None, "buckets": list(buckets), "docs": 0,
@@ -479,7 +480,8 @@ _EMPTY_SUM = [0, "0", "0"]
 
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
                         num_partitions, allow_overwrite, n_buckets,
-                        max_doc_bytes=None, extra_bucket_sums=None) -> dict:
+                        max_doc_bytes=None, extra_bucket_sums=None,
+                        carry_rows=None) -> dict:
     # Per-stage walls (verdict item: scan-vs-python-vs-write visibility for
     # 100x plan audits).  extract_and_write is one fused Spark action — the
     # scan, the Python extraction and the parquet write pipeline together by
@@ -490,6 +492,12 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     t0 = time.perf_counter()
     out = run_extraction(prepared, num_partitions=num_partitions,
                          max_doc_bytes=max_doc_bytes)
+    if carry_rows is not None:
+        # Doc-level merge: committed rows of the dirty buckets that the
+        # input did NOT replace are carried into the new run dir verbatim
+        # (their instrumentation columns included), so remapping the bucket
+        # keeps them live without re-extracting.
+        out = out.unionByName(carry_rows)
 
     data_dir = os.path.join(root, "data", f"run={run_id}")
     out.write.parquet(data_dir, mode="overwrite")
@@ -609,3 +617,84 @@ def run_upsert(
                           num_partitions=num_partitions, allow_overwrite=True,
                           n_buckets=n_buckets, max_doc_bytes=max_doc_bytes,
                           extra_bucket_sums=clean_recomputed or None)
+
+
+def run_merge_upsert(
+    spark: SparkSession,
+    input_df: DataFrame,
+    root: str,
+    *,
+    n_buckets: int = 64,
+    num_partitions: Optional[int] = None,
+    run_id: Optional[str] = None,
+    on_complete=None,
+    max_doc_bytes: Optional[int] = None,
+) -> dict:
+    """Doc-level MERGE (upsert for PARTIAL inputs): input docs are inserted
+    or updated; docs absent from the input are untouched.
+
+    ``run_upsert`` replaces dirty buckets WHOLESALE from the input — correct
+    for full-corpus re-syncs (absent = deleted), catastrophic for partial
+    batches: a 5-doc micro-batch would silently delete every sibling doc in
+    its buckets.  This variant diffs at the DOC level (input hash vs the
+    committed hash, touched buckets only — the bucket filter pushes into the
+    parquet scan, so the diff costs O(touched buckets), not O(table)),
+    re-extracts only the new/changed docs, and carries the dirty buckets'
+    unreplaced committed rows into the new run dir verbatim.  Copy-on-write
+    granularity stays bucket-level; correctness is doc-level.
+
+    Exactly-once under replay: a re-run of an already-merged batch diffs to
+    zero changed docs and no-ops.  Summary: ``docs`` counts every row
+    materialized into the rewritten buckets (kept + changed — the bucket
+    summaries are derived from them); ``docs_changed`` is this batch's real
+    work."""
+    store = SnapshotStore(root)
+    store.check_n_buckets(n_buckets)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    prepared = prepare_input(input_df, n_buckets).persist()
+    try:
+        touched = sorted(r["_bucket"] for r in
+                         prepared.select("_bucket").distinct().collect())
+        committed = store.committed_buckets()
+        committed_touched = [b for b in touched if str(b) in committed]
+        old = store.read_output(spark, instrumented=True)
+        if committed_touched:
+            old_keys = (
+                old.filter(F.col("_bucket").isin(committed_touched))
+                .select("doc_id", F.col("_input_hash").alias("_old_hash"))
+            )
+            changed = (
+                prepared.join(old_keys, "doc_id", "left")
+                .filter(F.col("_old_hash").isNull()
+                        | (F.col("_old_hash") != F.col("_input_hash")))
+                .drop("_old_hash")
+            )
+        else:
+            changed = prepared
+        changed = changed.persist()
+        try:
+            dirty_buckets = sorted(r["_bucket"] for r in
+                                   changed.select("_bucket").distinct().collect())
+            if not dirty_buckets:
+                summary = {"run_id": run_id, "snapshot_id": None, "buckets": [],
+                           "docs": 0, "docs_changed": 0}
+                notify_completion(on_complete, {**summary, "status": "noop", "detail": None})
+                return summary
+            n_changed = changed.count()
+            dirty_committed = [b for b in dirty_buckets if str(b) in committed]
+            carry = None
+            if dirty_committed:
+                carry = (
+                    old.filter(F.col("_bucket").isin(dirty_committed))
+                    .join(changed.select("doc_id"), "doc_id", "left_anti")
+                )
+            summary = _run_with_hook(
+                spark, store, changed, root, dirty_buckets, run_id, on_complete,
+                num_partitions=num_partitions, allow_overwrite=True,
+                n_buckets=n_buckets, max_doc_bytes=max_doc_bytes, carry_rows=carry,
+            )
+            return {**summary, "docs_changed": n_changed}
+        finally:
+            changed.unpersist()
+    finally:
+        prepared.unpersist()

@@ -67,6 +67,49 @@ def stream_extraction(
     return query
 
 
+def stream_merge_upsert(
+    spark: SparkSession,
+    input_path: str,
+    table_root: str,
+    *,
+    n_buckets: int = 64,
+    max_files_per_trigger: Optional[int] = None,
+    await_termination: bool = True,
+):
+    """Continuous ingestion INTO the snapshot table: every micro-batch
+    doc-level-MERGEs into the committed snapshot (new docs insert, changed
+    docs replace, absent docs untouched) — the streaming twin of
+    ``run_merge_upsert`` and the batch engine's answer to the reference's
+    task-by-task arrival (each upload becomes a merged doc, not a bucket
+    wipe).
+
+    Exactly-once composition: Spark's streaming checkpoint makes each file
+    feed exactly one batch id, and a REPLAYED batch (crash between sink and
+    checkpoint advance) re-merges the same docs → the doc-level diff finds
+    zero changes and no-ops.  Batch ids stamp the run ids, so every commit
+    is traceable to its micro-batch."""
+    from .checkpoint import run_merge_upsert
+
+    reader = spark.readStream.schema(INPUT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def sink(batch_df, batch_id: int) -> None:
+        run_merge_upsert(batch_df.sparkSession, batch_df, table_root,
+                         n_buckets=n_buckets, run_id=f"stream-{batch_id}")
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(table_root, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 def read_stream_output(spark: SparkSession, output_root: str):
     from .pipeline import strip_instrumentation
 

@@ -40,7 +40,12 @@ def main(argv=None) -> int:
     ap.add_argument("--no-warm", action="store_true",
                     help="skip the steady-state warm-up (include worker spawn in the timing)")
     ap.add_argument("--upsert", action="store_true",
-                    help="copy-on-write mode: reprocess only buckets with new/changed docs")
+                    help="copy-on-write full-sync mode: reprocess only buckets with "
+                         "new/changed docs; docs ABSENT from the input are deleted "
+                         "from their (dirty) buckets")
+    ap.add_argument("--merge-upsert", action="store_true",
+                    help="doc-level MERGE mode for partial inputs: input docs "
+                         "insert/update, absent docs stay untouched")
     ap.add_argument("--max-doc-bytes", type=int, default=None,
                     help="oversized-doc reject cap in bytes (default 25 MiB, the "
                          "reference upload limit); rejected docs are counted in lineage")
@@ -56,8 +61,16 @@ def main(argv=None) -> int:
         ap.error("exactly one of --input / --n-docs is required")
 
     from docling_service_spark.corpus import corpus_df
-    from docling_service_spark.sparkio.checkpoint import SnapshotStore, run_incremental, run_upsert
+    from docling_service_spark.sparkio.checkpoint import (
+        SnapshotStore,
+        run_incremental,
+        run_merge_upsert,
+        run_upsert,
+    )
     from docling_service_spark.sparkio.session import get_spark
+
+    if args.upsert and args.merge_upsert:
+        ap.error("--upsert and --merge-upsert are mutually exclusive")
 
     spark = get_spark(args.master, app_name="dss-extract-job")
     if not args.no_warm:
@@ -84,7 +97,16 @@ def main(argv=None) -> int:
             with open(_path, "a") as f:
                 f.write(json.dumps(payload) + "\n")
 
-    if args.upsert:
+    if args.merge_upsert:
+        summary = run_merge_upsert(
+            spark, inp, args.output,
+            n_buckets=args.n_buckets,
+            num_partitions=args.partitions,
+            run_id=args.run_id,
+            on_complete=on_complete,
+            max_doc_bytes=args.max_doc_bytes,
+        )
+    elif args.upsert:
         summary = run_upsert(
             spark, inp, args.output,
             n_buckets=args.n_buckets,

@@ -1,0 +1,138 @@
+"""Doc-level MERGE upsert: partial inputs insert/update their docs and leave
+every other doc intact — including same-bucket siblings, which the
+bucket-wholesale run_upsert would delete.  Plus the streaming twin:
+micro-batches merge into the committed snapshot exactly once."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from docling_service_spark.corpus import make_corpus
+from docling_service_spark.schemas import INPUT_SCHEMA
+from docling_service_spark.sparkio.checkpoint import (
+    SnapshotStore,
+    run_incremental,
+    run_merge_upsert,
+    run_upsert,
+)
+from docling_service_spark.sparkio.streaming import stream_merge_upsert
+
+N_DOCS = 60
+N_BUCKETS = 8
+
+
+def _mutate(doc: dict) -> dict:
+    spans = list(doc["spans"]) + [{
+        "kind": "text_block", "text": "MERGED-REVISION appended.",
+        "media_ref": "1,72,750,400,16,TOPLEFT,text", "offset": len(doc["spans"]),
+    }]
+    return {"doc_id": doc["doc_id"], "spans": spans}
+
+
+def _fresh_doc(idx: int) -> dict:
+    return {"doc_id": f"new-{idx:04d}", "spans": [{
+        "kind": "text_block", "text": f"Brand new document {idx}.",
+        "media_ref": "1,72,100,400,16,TOPLEFT,text", "offset": 0,
+    }]}
+
+
+def test_merge_updates_and_inserts_without_deleting(spark, tmp_path):
+    root = str(tmp_path / "table")
+    v1 = make_corpus(N_DOCS)
+    df1 = spark.createDataFrame(v1, INPUT_SCHEMA)
+    run_incremental(spark, df1, root, n_buckets=N_BUCKETS, num_partitions=2, run_id="base")
+    store = SnapshotStore(root)
+    before = {r["doc_id"]: r for r in store.read_output(spark).collect()}
+
+    # Partial batch: 3 changed docs + 2 brand-new ones.  Every bucket this
+    # batch touches also holds docs NOT in the batch (8 buckets, 60 docs).
+    batch = [_mutate(v1[3]), _mutate(v1[7]), _mutate(v1[11]),
+             _fresh_doc(1), _fresh_doc(2)]
+    r = run_merge_upsert(spark, spark.createDataFrame(batch, INPUT_SCHEMA),
+                         root, n_buckets=N_BUCKETS, run_id="m1")
+    assert r["docs_changed"] == 5
+    assert 0 < len(r["buckets"]) <= N_BUCKETS
+    assert r["docs"] > 5  # rewritten buckets carry their kept siblings
+
+    after = {r_["doc_id"]: r_ for r_ in store.read_output(spark).collect()}
+    assert len(after) == N_DOCS + 2
+    for doc_id in (v1[3]["doc_id"], v1[7]["doc_id"], v1[11]["doc_id"]):
+        assert any("MERGED-REVISION" in s["text"] for s in after[doc_id]["spans"])
+    assert "new-0001" in after and "new-0002" in after
+    # EVERY other doc is byte-identical — absent-from-input ≠ deleted.
+    for doc_id, row in before.items():
+        if doc_id in (v1[3]["doc_id"], v1[7]["doc_id"], v1[11]["doc_id"]):
+            continue
+        assert row["markdown"] == after[doc_id]["markdown"], doc_id
+
+    # Replay of the same batch: doc-level diff → pure no-op.
+    r2 = run_merge_upsert(spark, spark.createDataFrame(batch, INPUT_SCHEMA),
+                          root, n_buckets=N_BUCKETS, run_id="m2")
+    assert r2["snapshot_id"] is None and r2["docs_changed"] == 0
+
+
+def test_merge_vs_wholesale_deletion_semantics(spark, tmp_path):
+    """The failure mode run_merge_upsert exists to prevent: run_upsert on a
+    partial batch deletes the batch's same-bucket siblings."""
+    root_m = str(tmp_path / "merge")
+    root_w = str(tmp_path / "whole")
+    v1 = make_corpus(N_DOCS)
+    df1 = spark.createDataFrame(v1, INPUT_SCHEMA)
+    for root in (root_m, root_w):
+        run_incremental(spark, df1, root, n_buckets=N_BUCKETS, num_partitions=2, run_id="base")
+    batch = spark.createDataFrame([_mutate(v1[3])], INPUT_SCHEMA)
+
+    run_merge_upsert(spark, batch, root_m, n_buckets=N_BUCKETS, run_id="m")
+    run_upsert(spark, batch, root_w, n_buckets=N_BUCKETS, run_id="w")
+
+    merged = SnapshotStore(root_m).read_output(spark).count()
+    wholesale = SnapshotStore(root_w).read_output(spark).count()
+    assert merged == N_DOCS            # nothing deleted
+    assert wholesale < N_DOCS          # bucket-replacement dropped siblings
+
+
+def test_merge_into_empty_table(spark, tmp_path):
+    root = str(tmp_path / "table")
+    batch = [_fresh_doc(i) for i in range(5)]
+    r = run_merge_upsert(spark, spark.createDataFrame(batch, INPUT_SCHEMA),
+                         root, n_buckets=N_BUCKETS, run_id="m0")
+    assert r["docs_changed"] == 5 and r["docs"] == 5
+    assert SnapshotStore(root).read_output(spark).count() == 5
+
+
+def _land_wave(spark, path, docs, name):
+    tmp = f"{path}.{name}.tmp"
+    spark.createDataFrame(docs, INPUT_SCHEMA).coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(path, exist_ok=True)
+    shutil.move(part, os.path.join(path, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def test_stream_merge_upsert_waves(spark, tmp_path):
+    inp = str(tmp_path / "landing")
+    root = str(tmp_path / "table")
+    v1 = make_corpus(30)
+    _land_wave(spark, inp, v1, "w1")
+    stream_merge_upsert(spark, inp, root, n_buckets=N_BUCKETS)
+    store = SnapshotStore(root)
+    assert store.read_output(spark).count() == 30
+
+    # Wave 2: one revision + one new doc; everything else must survive.
+    _land_wave(spark, inp, [_mutate(v1[5]), _fresh_doc(9)], "w2")
+    stream_merge_upsert(spark, inp, root, n_buckets=N_BUCKETS)
+    out = {r["doc_id"]: r for r in store.read_output(spark).collect()}
+    assert len(out) == 31
+    assert any("MERGED-REVISION" in s["text"] for s in out[v1[5]["doc_id"]]["spans"])
+
+    # Re-running the stream with no new files is a no-op (checkpoint cursor).
+    snap_before = store.current_manifest()["snapshot_id"]
+    stream_merge_upsert(spark, inp, root, n_buckets=N_BUCKETS)
+    assert store.current_manifest()["snapshot_id"] == snap_before
+    # Exactly one live row per doc even though buckets were rewritten.
+    assert store.read_output(spark).groupBy("doc_id").count() \
+                .filter(F.col("count") > 1).count() == 0
