@@ -209,12 +209,92 @@ def q45_ivf_ann_topk(spark, sf_dir):
     )
 
 
+# --- q46: IVF-cluster near-dup candidate pairs (SemDeDup shape) -------------------
+
+SEMDEDUP_SIM_E6 = 350_000  # same threshold as the hyperplane near-dup path
+
+
+def q46_ivf_cluster_pairs(spark, sf_dir):
+    """SemDeDup-shaped near-dup candidates: pairs restricted to the SAME
+    coarse IVF cluster, scored by cosine, thresholded — the third bucketing
+    scheme next to minhash bands (q33) and hyperplane buckets (q42), and
+    the one that doubles as the vector table's physical partition key at
+    100 TB (partition by cluster ⇒ the self-join is co-located, no wide
+    shuffle).  Frozen quantizer ⇒ fully static, fully oracled.
+
+    Same normalize-ONCE-before-the-join discipline as q42 (inv_norm
+    materialized as a column; no per-pair re-normalization)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    assigned = _assign(emb, FROZEN_CENTROIDS).select("vec_id", "embedding", "cluster")
+    assigned = assigned.withColumn(
+        "inv_norm", F.lit(1.0) / F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    nemb = F.transform(F.col("embedding"), lambda x: x.cast("double") * F.col("inv_norm"))
+    withn = assigned.select("vec_id", "cluster", nemb.alias("nemb"))
+    a = withn.alias("a")
+    c = withn.alias("c")
+    sim = F.aggregate(
+        F.zip_with(F.col("a.nemb"), F.col("c.nemb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(c, (F.col("a.cluster") == F.col("c.cluster"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            F.col("a.cluster").cast("bigint").alias("cluster"),
+            F.floor(sim * 1_000_000).cast("bigint").alias("sim_e6"),
+        )
+        .filter(F.col("sim_e6") >= SEMDEDUP_SIM_E6)
+    )
+
+
+def _oracle_q46() -> str:
+    vals = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for j, c in enumerate(FROZEN_CENTROIDS)
+    )
+    sql_dot = ("list_aggregate(list_transform(generate_series(1, {n}), "
+               "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')")
+    nemb = ("list_transform(embedding, x -> x::DOUBLE * (1.0 / sqrt("
+            + sql_dot.format(n=DIM, a="embedding", b="embedding") + ")))")
+    pair_dot = (f"list_aggregate(list_transform(generate_series(1, {DIM}), "
+                "i -> a.nemb[i] * c.nemb[i]), 'sum')")
+    return f"""
+WITH cents(c, w) AS (VALUES {vals}),
+scored AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.c AS c,
+         list_aggregate(list_transform(generate_series(1, {DIM}),
+           i -> (e.embedding[i]::DOUBLE - c.w[i]) * (e.embedding[i]::DOUBLE - c.w[i])), 'sum') AS d
+  FROM embeddings e CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id, CAST(min({{'d': d, 'c': c}}).c AS BIGINT) AS cluster
+  FROM scored GROUP BY vec_id),
+n AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {nemb} AS nemb FROM embeddings),
+w AS (SELECT asg.vec_id, asg.cluster, n.nemb FROM asg JOIN n ON n.vec_id = asg.vec_id)
+SELECT id_a, id_b, cluster, sim_e6 FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.cluster AS cluster,
+         CAST(FLOOR({pair_dot} * 1000000) AS BIGINT) AS sim_e6
+  FROM w a JOIN w c ON a.cluster = c.cluster AND a.vec_id < c.vec_id)
+WHERE sim_e6 >= {SEMDEDUP_SIM_E6}
+"""
+
+
 QUERIES = {
     "q44_ivf_assignments": q44_ivf_assignments,
     "q45_ivf_ann_topk": q45_ivf_ann_topk,
+    "q46_ivf_cluster_pairs": q46_ivf_cluster_pairs,
 }
 
 # q45 stays intentionally oracle-less: it TRAINS live (iterative + FP-order
 # sensitive — the driver brief's carve-out); pytest covers its recall.  q44
 # assigns against the frozen quantizer, so it oracles like any static query.
-ORACLES: dict[str, str] = {"q44_ivf_assignments": _oracle_q44()}
+ORACLES: dict[str, str] = {
+    "q44_ivf_assignments": _oracle_q44(),
+    "q46_ivf_cluster_pairs": _oracle_q46(),
+}
