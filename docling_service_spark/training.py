@@ -1,0 +1,115 @@
+"""End-to-end training-set derivation OVER the extraction output: the
+composition that makes the engine a training-data pipeline, not just an
+extractor (task brief: dedup / quality / chunking as first-class ops).
+
+    extracted snapshot ──▶ body text ──▶ quality gate ──▶ exact dedup
+                      ──▶ sliding-window chunks (the training samples)
+
+Every stage is a pure DataFrame transformation (JVM-side; no Python in the
+hot path) reusing the operator recipes the driver queries prove against
+DuckDB (q21 quality, q23 fingerprint/q30 dedup, q24 chunking):
+
+- **Body text** strips the machine metadata block from the markdown (a
+  training sample must not learn the fenced-JSON tail) — a split on the
+  fixed sentinel, no regex.
+- **Quality gate** = the q21 composite (length + alpha ratio), applied to
+  the body.
+- **Exact dedup** keeps the MIN doc_id per normalized fingerprint
+  (first-writer-wins, the reference's migration rule) — one shuffle on the
+  uniform md5 key.
+- **Chunking** = q24's slice-inside-transform + posexplode (overlapping
+  token windows, zero shuffles, O(n·W/S) bytes).
+
+Scale shape: one shuffle total (the dedup groupBy); everything else is
+row-local over the snapshot scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+META_SENTINEL = "\n\n---\n\n<!-- DOCLING_METADATA_START -->"
+
+MIN_BODY_CHARS = 100
+MIN_ALPHA_BP = 5000  # markdown bodies carry structural punctuation → laxer than q21's 7000
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def extracted_body(out_df: DataFrame) -> DataFrame:
+    """(doc_id, body) for completed docs: markdown minus the metadata tail."""
+    return out_df.filter(F.col("status") == "completed").select(
+        "doc_id",
+        F.substring_index("markdown", META_SENTINEL, 1).alias("body"),
+    )
+
+
+def quality_gate(body_df: DataFrame, *, min_chars: int = MIN_BODY_CHARS,
+                 min_alpha_bp: int = MIN_ALPHA_BP) -> DataFrame:
+    """q21-shaped composite over the extracted body (length + alpha ratio)."""
+    length = F.length("body")
+    alpha = F.length(F.regexp_replace("body", "[^A-Za-z]", ""))
+    alpha_bp = F.floor(alpha * F.lit(10000) / F.greatest(length, F.lit(1)))
+    return body_df.filter((length >= min_chars) & (alpha_bp >= min_alpha_bp))
+
+
+def exact_dedup(body_df: DataFrame) -> DataFrame:
+    """First-writer-wins on the normalized-content fingerprint (q23/q30
+    recipe; reference scripts/r2_migrate_xxhash.py:256-273 keeper rule)."""
+    fp = F.md5(F.regexp_replace(F.lower("body"), "[^a-z0-9]", ""))
+    keyed = body_df.withColumn("_fp", fp)
+    keepers = keyed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    return keyed.join(keepers, ["_fp", "doc_id"], "inner").drop("_fp")
+
+
+def chunk(body_df: DataFrame, *, window: int = CHUNK_TOKENS,
+          stride: int = CHUNK_STRIDE) -> DataFrame:
+    """q24's sliding-window chunker over the body column."""
+    toks = body_df.select(
+        "doc_id",
+        F.filter(F.split("body", r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + stride - 1) / stride).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("toks", i * stride + 1, window),
+    )
+    exploded = toks.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+        F.size("chunk").cast("bigint").alias("chunk_tokens"),
+    )
+
+
+def build_training_set(out_df: DataFrame, **chunk_kwargs) -> DataFrame:
+    """The full composition: extraction output → training chunks."""
+    return chunk(exact_dedup(quality_gate(extracted_body(out_df))), **chunk_kwargs)
+
+
+def training_set_report(out_df: DataFrame) -> dict:
+    """Per-stage funnel counts (the pipeline's lineage-style summary)."""
+    body = extracted_body(out_df).persist()
+    try:
+        gated = quality_gate(body).persist()
+        try:
+            deduped = exact_dedup(gated).persist()
+            try:
+                chunks = chunk(deduped)
+                return {
+                    "completed_docs": body.count(),
+                    "passed_quality": gated.count(),
+                    "after_dedup": deduped.count(),
+                    "chunks": chunks.count(),
+                }
+            finally:
+                deduped.unpersist()
+        finally:
+            gated.unpersist()
+    finally:
+        body.unpersist()

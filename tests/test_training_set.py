@@ -1,0 +1,83 @@
+"""End-to-end training-set derivation over REAL extraction output:
+body-strip → quality gate → exact dedup (first-writer-wins) → overlapping
+token chunks.  The composition the task brief's training-data ops exist for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_service_spark.corpus import corpus_df, make_corpus
+from docling_service_spark.schemas import INPUT_SCHEMA
+from docling_service_spark.sparkio.pipeline import run_extraction, strip_instrumentation
+from docling_service_spark.training import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    META_SENTINEL,
+    build_training_set,
+    exact_dedup,
+    extracted_body,
+    training_set_report,
+)
+
+N_DOCS = 48
+
+
+def _extract(spark, docs_df):
+    return strip_instrumentation(run_extraction(docs_df))
+
+
+def test_funnel_and_chunk_invariants(spark):
+    out = _extract(spark, corpus_df(spark, N_DOCS, partitions=2)).persist()
+    report = training_set_report(out)
+    assert report["completed_docs"] > 0
+    assert report["completed_docs"] >= report["passed_quality"] >= report["after_dedup"]
+    assert report["chunks"] >= report["after_dedup"]  # every kept doc chunks
+
+    chunks = build_training_set(out).persist()
+    rows = chunks.collect()
+    assert len(rows) == report["chunks"]
+    # Window/stride invariants: every chunk ≤ W tokens; only a doc's LAST
+    # chunk may be short; chunk ids are dense per doc.
+    by_doc: dict = {}
+    for r in rows:
+        assert 1 <= r["chunk_tokens"] <= CHUNK_TOKENS
+        assert len([t for t in r["chunk_text"].split(" ") if t]) == r["chunk_tokens"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in doc_rows] == list(range(len(doc_rows)))
+        for r in doc_rows[:-1]:
+            assert r["chunk_tokens"] == CHUNK_TOKENS
+    # No metadata block may leak into any training sample.
+    assert chunks.filter(F.col("chunk_text").contains("DOCLING_METADATA")).count() == 0
+    # Overlap: consecutive chunks share W - S tokens.
+    multi = next((v for v in by_doc.values() if len(v) >= 2), None)
+    if multi is not None:
+        a = multi[0]["chunk_text"].split(" ")
+        b = multi[1]["chunk_text"].split(" ")
+        assert a[CHUNK_STRIDE:] == b[: CHUNK_TOKENS - CHUNK_STRIDE]
+    chunks.unpersist()
+    out.unpersist()
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    # Two byte-identical docs under different ids → one survivor, the MIN id.
+    base = make_corpus(6)
+    dup = dict(base[1], doc_id="zzz-duplicate")  # same spans, later id
+    docs = spark.createDataFrame(base + [dup], INPUT_SCHEMA)
+    out = _extract(spark, docs)
+    body = extracted_body(out)
+    kept = {r["doc_id"] for r in exact_dedup(body).collect()}
+    assert base[1]["doc_id"] in kept
+    assert "zzz-duplicate" not in kept
+    # Everything else survives (no false dedup).
+    assert len(kept) == body.count() - 1
+
+
+def test_failed_docs_never_reach_training(spark):
+    out = _extract(spark, corpus_df(spark, 250, partitions=2))  # includes idx 211 (malformed)
+    assert out.filter(F.col("status") != "completed").count() > 0
+    body = extracted_body(out)
+    assert body.count() == out.filter(F.col("status") == "completed").count()
+    assert META_SENTINEL.strip() not in body.select("body").first()["body"]
