@@ -73,6 +73,20 @@ PLAN_NOTES = [
      "Frozen-quantizer assignment: ZERO shuffles — 16 centroid distances + "
      "struct argmin evaluated per row inside one projection over the scan "
      "(centroids are literals, never a join side); scales embarrassingly."),
+    ("q24_chunking",
+     "Sliding-window chunking: tokens materialize once, chunks slice INSIDE "
+     "a transform and posexplode — ZERO shuffles, output-sized bytes "
+     "(an id-explode followed by slicing would carry the whole token array "
+     "into every exploded row, O(n^2/S) per doc)."),
+    ("q26_vocabulary",
+     "Corpus vocabulary: explode -> single Exchange on the token key with "
+     "map-side partial aggregation (tf count + df distinct), deterministic "
+     "top-k cut — the canonical word-count shape at any scale."),
+    ("q46_ivf_cluster_pairs",
+     "SemDeDup-shaped near-dup candidates: frozen-quantizer argmin assigns "
+     "cluster per row (no join), then the self-join keys on cluster — the "
+     "vector table's natural partition key, so at scale this is a "
+     "co-located join after partitioning by cluster, not a wide shuffle."),
 ]
 
 HEADER = """# PLANS — physical plans of headline queries (sf0.1, local[8])
