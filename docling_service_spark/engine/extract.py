@@ -235,6 +235,12 @@ def _render_block(kind: str, text: str, level: int, media_ref: str) -> str:
     return text  # text, caption, page_marker handled elsewhere
 
 
+# The markdown/metadata boundary — THE sentinel: consumers that strip the
+# machine tail (training.py body extraction) import this instead of
+# re-declaring the bytes, so renderer and strippers cannot drift.
+META_BLOCK_PREFIX = "\n\n---\n\n<!-- DOCLING_METADATA_START -->"
+
+
 def _metadata_block(images: list[dict], tables: list[dict], pages_list: list[dict], doc_meta: dict) -> str:
     """Fenced-JSON metadata block, structure per reference app/main.py:484-546."""
     metadata_obj = {
@@ -282,7 +288,7 @@ def _metadata_block(images: list[dict], tables: list[dict], pages_list: list[dic
     # Byte-identical to json.dumps(metadata_obj, indent=2) (reference
     # app/main.py:535) via the C-escaper fast path — property-tested.
     json_str = dumps_indent2(metadata_obj)
-    return f"\n\n---\n\n<!-- DOCLING_METADATA_START -->\n```json\n{json_str}\n```\n<!-- DOCLING_METADATA_END -->\n"
+    return f"{META_BLOCK_PREFIX}\n```json\n{json_str}\n```\n<!-- DOCLING_METADATA_END -->\n"
 
 
 def extract_document(doc_id: str, spans: Optional[list[dict]],

@@ -222,17 +222,22 @@ def q46_ivf_cluster_pairs(spark, sf_dir):
     100 TB (partition by cluster ⇒ the self-join is co-located, no wide
     shuffle).  Frozen quantizer ⇒ fully static, fully oracled.
 
-    Same normalize-ONCE-before-the-join discipline as q42 (inv_norm
-    materialized as a column; no per-pair re-normalization)."""
+    Same normalize-ONCE-before-the-join discipline as q42, INCLUDING its
+    join barrier: inv_norm referenced only inside the transform lambda gets
+    CollapseProject-inlined and the DIM-element fold re-evaluates per
+    element (O(DIM²)/row — the trap similarity.py documents); q42 escapes
+    because a join sits between the withColumn and the transform, so this
+    query keeps the identical cluster⋈norm shape rather than a fused
+    single-projection one."""
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
-    assigned = _assign(emb, FROZEN_CENTROIDS).select("vec_id", "embedding", "cluster")
-    assigned = assigned.withColumn(
+    clusters = _assign(emb, FROZEN_CENTROIDS).select("vec_id", "cluster")
+    normed = emb.withColumn(
         "inv_norm", F.lit(1.0) / F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
     nemb = F.transform(F.col("embedding"), lambda x: x.cast("double") * F.col("inv_norm"))
-    withn = assigned.select("vec_id", "cluster", nemb.alias("nemb"))
+    withn = clusters.join(normed, "vec_id").select("vec_id", "cluster", nemb.alias("nemb"))
     a = withn.alias("a")
     c = withn.alias("c")
     sim = F.aggregate(

@@ -142,30 +142,25 @@ CHUNK_TOKENS = 64   # window size
 CHUNK_STRIDE = 48   # overlap = 16 tokens
 
 
-def q24_chunking(spark, sf_dir):
-    """Token-window chunking with overlap — the training-sample constructor:
-    every doc becomes ceil((n-W)/S)+1 chunks of ≤W tokens at stride S.
+def chunk_token_arrays(toks_df, *, window: int = CHUNK_TOKENS,
+                       stride: int = CHUNK_STRIDE):
+    """(doc_id, toks) → overlapping token-window chunks.  THE chunker —
+    q24 (DuckDB-proven) and training.build_training_set both call this, so
+    the oracled recipe and the training-set output cannot diverge.
 
-    All JVM-side: tokens materialize ONCE as a column (lambda-inlining
-    trap), chunks are sliced INSIDE a transform and then ``posexplode``d —
-    exploding chunk ids first and slicing after would carry the whole token
-    array into every exploded row (O(n²/S) bytes per doc); slicing first
-    keeps it at the output size, O(n·W/S).  No Python, no shuffle (chunking
-    is embarrassingly row-local)."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
-    )
+    Chunks slice INSIDE a transform and then ``posexplode`` — exploding
+    chunk ids first and slicing after would carry the whole token array
+    into every exploded row (O(n²/S) bytes per doc); slicing first keeps it
+    at the output size, O(n·W/S).  No Python, no shuffle."""
     n = F.size("toks")
-    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
-        F.floor((n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("int") + 1
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + stride - 1) / stride).cast("int") + 1
     )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice("toks", i * CHUNK_STRIDE + 1, CHUNK_TOKENS),
+        lambda i: F.slice("toks", i * stride + 1, window),
     )
-    exploded = toks.select(
+    exploded = toks_df.select(
         "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
     )
     return exploded.select(
@@ -174,6 +169,21 @@ def q24_chunking(spark, sf_dir):
         F.concat_ws(" ", "chunk").alias("chunk_text"),
         F.size("chunk").cast("bigint").alias("chunk_tokens"),
     )
+
+
+def q24_chunking(spark, sf_dir):
+    """Token-window chunking with overlap — the training-sample constructor:
+    every doc becomes ceil((n-W)/S)+1 chunks of ≤W tokens at stride S.
+
+    Tokens materialize ONCE as a column (lambda-inlining trap); chunking
+    itself is ``chunk_token_arrays`` — see its docstring for the
+    slice-before-explode size analysis."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    return chunk_token_arrays(toks)
 
 
 ORACLE_Q24 = rf"""

@@ -105,7 +105,8 @@ class SnapshotStore:
 
     def commit(self, new_buckets: list[int], run_id: str, *, allow_overwrite: bool = False,
                n_buckets: Optional[int] = None,
-               bucket_sums: Optional[dict] = None) -> int:
+               bucket_sums: Optional[dict] = None,
+               expected_parent_snapshot_id: object = "__unset__") -> int:
         """Optimistic-concurrency commit.  Snapshot-id allocation is the
         atomic commit point: the manifest body is fully written to a unique
         temp file, then claimed with ``os.link`` (fails with FileExistsError
@@ -119,6 +120,19 @@ class SnapshotStore:
         the manifest so upserts can detect clean buckets from metadata alone."""
         for _ in range(self.MAX_COMMIT_RETRIES):
             parent = self.current_manifest()
+            if expected_parent_snapshot_id != "__unset__":
+                # Compare-and-swap commit: MERGE runs carry forward rows read
+                # from a specific snapshot, so committing onto any OTHER
+                # parent would silently drop a concurrent writer's docs from
+                # shared buckets.  allow_overwrite covers the remap; this
+                # covers the read-your-parent dependency.
+                actual = parent["snapshot_id"] if parent else None
+                if actual != expected_parent_snapshot_id:
+                    raise SnapshotConflictError(
+                        f"run {run_id}: planned against snapshot "
+                        f"{expected_parent_snapshot_id} but current is {actual}; "
+                        f"re-run the merge against the new snapshot"
+                    )
             already = {int(b) for b in parent["buckets"]} if parent else set()
             conflicts = sorted(set(new_buckets) & already)
             if conflicts and not allow_overwrite:
@@ -399,7 +413,8 @@ def run_incremental(
 
 def _run_with_hook(spark, store, prepared, root, buckets, run_id, on_complete, *,
                    num_partitions, allow_overwrite, n_buckets, max_doc_bytes=None,
-                   extra_bucket_sums=None, carry_rows=None) -> dict:
+                   extra_bucket_sums=None, carry_rows=None,
+                   expected_parent="__unset__", extra_summary=None) -> dict:
     try:
         summary = _process_and_commit(spark, store, prepared, root, buckets, run_id,
                                       num_partitions=num_partitions,
@@ -407,13 +422,16 @@ def _run_with_hook(spark, store, prepared, root, buckets, run_id, on_complete, *
                                       n_buckets=n_buckets,
                                       max_doc_bytes=max_doc_bytes,
                                       extra_bucket_sums=extra_bucket_sums,
-                                      carry_rows=carry_rows)
+                                      carry_rows=carry_rows,
+                                      expected_parent=expected_parent)
     except Exception as exc:
         notify_completion(on_complete, {
             "run_id": run_id, "snapshot_id": None, "buckets": list(buckets), "docs": 0,
+            **(extra_summary or {}),
             "status": "failed", "detail": f"{type(exc).__name__}: {exc}",
         })
         raise
+    summary = {**summary, **(extra_summary or {})}
     notify_completion(on_complete, {**summary, "status": "completed", "detail": None})
     return summary
 
@@ -481,7 +499,7 @@ _EMPTY_SUM = [0, "0", "0"]
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
                         num_partitions, allow_overwrite, n_buckets,
                         max_doc_bytes=None, extra_bucket_sums=None,
-                        carry_rows=None) -> dict:
+                        carry_rows=None, expected_parent="__unset__") -> dict:
     # Per-stage walls (verdict item: scan-vs-python-vs-write visibility for
     # 100x plan audits).  extract_and_write is one fused Spark action — the
     # scan, the Python extraction and the parquet write pipeline together by
@@ -528,13 +546,21 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     # commit and the lineage write only loses metrics rows (read_lineage
     # skips missing run dirs), never data.
     snapshot_id = store.commit(buckets, run_id, allow_overwrite=allow_overwrite,
-                               n_buckets=n_buckets, bucket_sums=bucket_sums)
+                               n_buckets=n_buckets, bucket_sums=bucket_sums,
+                               expected_parent_snapshot_id=expected_parent)
     timings["commit_ms"] = int((time.perf_counter() - t0) * 1000)
 
     # Lineage from the written files: prunes to the instrumentation columns,
     # so this scan costs footer-reads + three narrow columns, not a re-run.
+    # Merge runs exclude the carried-forward rows — their extraction work
+    # (doc_count / wall_ms / bytes) was booked by the run that produced
+    # them; re-booking on every merge would inflate lineage totals without
+    # bound in a streaming deployment.
     t0 = time.perf_counter()
-    lineage = derive_lineage(written, run_id, snapshot_id)
+    lineage_src = written
+    if carry_rows is not None:
+        lineage_src = written.join(carry_rows.select("doc_id"), "doc_id", "left_anti")
+    lineage = derive_lineage(lineage_src, run_id, snapshot_id)
     lineage.write.parquet(os.path.join(root, "lineage", f"run={run_id}"), mode="overwrite")
     timings["lineage_ms"] = int((time.perf_counter() - t0) * 1000)
     return {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets,
@@ -647,12 +673,35 @@ def run_merge_upsert(
     zero changed docs and no-ops.  Summary: ``docs`` counts every row
     materialized into the rewritten buckets (kept + changed — the bucket
     summaries are derived from them); ``docs_changed`` is this batch's real
-    work."""
+    work (lineage books only the changed rows, so merge runs never re-book
+    carried siblings' extraction metrics).
+
+    Duplicate doc_ids WITHIN one batch (two versions of the same doc in one
+    trigger) collapse to one row before diffing — the pick is deterministic
+    (max ``_input_hash``) but arbitrary between versions, since a DataFrame
+    carries no arrival order; deployments needing strict last-wins should
+    bound ``maxFilesPerTrigger`` so versions land in separate batches.
+
+    Concurrency: the commit is compare-and-swap on the PLANNED parent
+    snapshot — carried rows were read from it, so committing onto any other
+    parent would silently drop a concurrent writer's docs from shared
+    buckets.  A lost race raises ``SnapshotConflictError``; re-run the
+    merge (the replayed diff skips whatever already landed)."""
     store = SnapshotStore(root)
     store.check_n_buckets(n_buckets)
     run_id = run_id or uuid.uuid4().hex[:12]
-    prepared = prepare_input(input_df, n_buckets).persist()
+    from pyspark.sql.window import Window
+
+    deduped = (
+        prepare_input(input_df, n_buckets)
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("_input_hash").desc())))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    prepared = deduped.persist()
     try:
+        parent_manifest = store.current_manifest()
+        expected_parent = parent_manifest["snapshot_id"] if parent_manifest else None
         touched = sorted(r["_bucket"] for r in
                          prepared.select("_bucket").distinct().collect())
         committed = store.committed_buckets()
@@ -688,12 +737,13 @@ def run_merge_upsert(
                     old.filter(F.col("_bucket").isin(dirty_committed))
                     .join(changed.select("doc_id"), "doc_id", "left_anti")
                 )
-            summary = _run_with_hook(
+            return _run_with_hook(
                 spark, store, changed, root, dirty_buckets, run_id, on_complete,
                 num_partitions=num_partitions, allow_overwrite=True,
                 n_buckets=n_buckets, max_doc_bytes=max_doc_bytes, carry_rows=carry,
+                expected_parent=expected_parent,
+                extra_summary={"docs_changed": n_changed},
             )
-            return {**summary, "docs_changed": n_changed}
         finally:
             changed.unpersist()
     finally:

@@ -28,13 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-META_SENTINEL = "\n\n---\n\n<!-- DOCLING_METADATA_START -->"
+from .engine.extract import META_BLOCK_PREFIX as META_SENTINEL
+from .queries.text_ops import CHUNK_STRIDE, CHUNK_TOKENS, chunk_token_arrays
 
 MIN_BODY_CHARS = 100
 MIN_ALPHA_BP = 5000  # markdown bodies carry structural punctuation → laxer than q21's 7000
-
-CHUNK_TOKENS = 64
-CHUNK_STRIDE = 48
 
 
 def extracted_body(out_df: DataFrame) -> DataFrame:
@@ -65,26 +63,13 @@ def exact_dedup(body_df: DataFrame) -> DataFrame:
 
 def chunk(body_df: DataFrame, *, window: int = CHUNK_TOKENS,
           stride: int = CHUNK_STRIDE) -> DataFrame:
-    """q24's sliding-window chunker over the body column."""
+    """q24's sliding-window chunker (the SAME ``chunk_token_arrays`` the
+    oracled query runs) over the body column."""
     toks = body_df.select(
         "doc_id",
         F.filter(F.split("body", r"\s+"), lambda x: x != "").alias("toks"),
     )
-    n = F.size("toks")
-    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
-        F.floor((n - window + stride - 1) / stride).cast("int") + 1
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice("toks", i * stride + 1, window),
-    )
-    exploded = toks.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
-    return exploded.select(
-        "doc_id",
-        F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        F.concat_ws(" ", "chunk").alias("chunk_text"),
-        F.size("chunk").cast("bigint").alias("chunk_tokens"),
-    )
+    return chunk_token_arrays(toks, window=window, stride=stride)
 
 
 def build_training_set(out_df: DataFrame, **chunk_kwargs) -> DataFrame:

@@ -157,7 +157,9 @@ def main(argv=None) -> int:
         # Only this run's rows (bucket dirs under data/run={id}) — uploads are
         # doc-addressed last-writer-wins, so re-runs and upserts stay correct.
         report["markdown_uploaded"] = 0
-        if summary["snapshot_id"] is not None:
+        # Gate on buckets, not snapshot_id: a metadata-only commit (pre-s2
+        # summary migration) advances the snapshot WITHOUT writing a run dir.
+        if summary["snapshot_id"] is not None and summary["buckets"]:
             import os
 
             from docling_service_spark.sparkio.batch import INSTRUMENTED_DDL

@@ -95,6 +95,58 @@ def test_merge_vs_wholesale_deletion_semantics(spark, tmp_path):
     assert wholesale < N_DOCS          # bucket-replacement dropped siblings
 
 
+def test_merge_dedups_doc_ids_within_batch(spark, tmp_path):
+    """Two versions of the same doc in ONE batch collapse to a single row
+    before diffing — without this, the snapshot holds duplicate live rows
+    forever (review finding)."""
+    root = str(tmp_path / "table")
+    v = _fresh_doc(1)
+    v2 = _mutate(v)
+    batch = spark.createDataFrame([v, v2, _fresh_doc(2)], INPUT_SCHEMA)
+    r = run_merge_upsert(spark, batch, root, n_buckets=N_BUCKETS, run_id="m")
+    assert r["docs_changed"] == 2  # doc 1 collapsed + doc 2
+    store = SnapshotStore(root)
+    out = store.read_output(spark)
+    assert out.count() == 2
+    assert out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_merge_conflicts_on_concurrent_snapshot_advance(spark, tmp_path):
+    """CAS commit: a merge planned against snapshot S must NOT commit onto
+    S+1 — its carried rows were read from S, so overwriting would silently
+    drop the concurrent writer's docs (review finding)."""
+    import pytest
+
+    from docling_service_spark.sparkio.checkpoint import (
+        SnapshotConflictError,
+        prepare_input,
+    )
+
+    root = str(tmp_path / "table")
+    v1 = make_corpus(20)
+    run_incremental(spark, spark.createDataFrame(v1, INPUT_SCHEMA), root,
+                    n_buckets=N_BUCKETS, num_partitions=2, run_id="base")
+    store = SnapshotStore(root)
+    planned_parent = store.current_manifest()["snapshot_id"]
+    # A concurrent writer advances the snapshot between plan and commit.
+    run_merge_upsert(spark, spark.createDataFrame([_fresh_doc(7)], INPUT_SCHEMA),
+                     root, n_buckets=N_BUCKETS, run_id="other")
+    assert store.current_manifest()["snapshot_id"] == planned_parent + 1
+    # The stale plan's commit must raise, not clobber.
+    with pytest.raises(SnapshotConflictError, match="planned against snapshot"):
+        store.commit([0], "stale", allow_overwrite=True, n_buckets=N_BUCKETS,
+                     expected_parent_snapshot_id=planned_parent)
+    # Re-running the merge against the NEW snapshot succeeds (the replayed
+    # diff just re-plans).
+    r = run_merge_upsert(spark, spark.createDataFrame([_mutate(v1[2])], INPUT_SCHEMA),
+                         root, n_buckets=N_BUCKETS, run_id="retry")
+    assert r["docs_changed"] == 1
+    assert store.read_output(spark).count() == 21  # nothing lost
+    # prepare_input still importable-sane for the helper above
+    assert prepare_input(spark.createDataFrame([_fresh_doc(9)], INPUT_SCHEMA),
+                         N_BUCKETS).columns[-2:] == ["_bucket", "_input_hash"]
+
+
 def test_merge_into_empty_table(spark, tmp_path):
     root = str(tmp_path / "table")
     batch = [_fresh_doc(i) for i in range(5)]
