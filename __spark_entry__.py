@@ -6,8 +6,9 @@
               extraction dataflow itself plus relational, text-analysis,
               dedup (exact/minhash/LSH/simhash/jaccard), similarity-search
               and multimodal-plumbing operators.
-``oracle_sql`` — DuckDB equivalents.  Only q60 (full custom extraction over
-              the synthetic corpus) is oracle-less by design.
+``oracle_sql`` — DuckDB equivalents for every query: q60 oracles against a
+              committed golden parquet (scripts/freeze_q60_golden.py), q45
+              against the frozen IVF quantizer — 43/43 oracled.
 """
 
 from __future__ import annotations

