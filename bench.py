@@ -10,6 +10,13 @@ noop sink).  The queries dict times the flagship + representative operators
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
+Best-of-N protocol (round-3 verdict #4 — the repo's own rule, CLAUDE.md:
+host shows up to 2.4x run variance, so a single sample cannot distinguish a
+slow window from a regression): the headline runs HEADLINE_RUNS=3 times and
+reports the MIN; each query runs QUERY_RUNS=2 times and reports the MIN.
+All samples are recorded in the ``samples`` extra for post-hoc variance
+checks.
+
 Reference baseline (BASELINE.md): 0.07-0.125 docs/sec single-stream CPU.
 """
 
@@ -25,6 +32,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 N_DOCS = max(600, int(60000 * SF))
 
+HEADLINE_RUNS = 3
+QUERY_RUNS = 2
+
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_dedup_first_wins",
@@ -38,10 +48,14 @@ BENCH_QUERIES = [
     "q34_simhash",
     "q40_cosine_topk",
     "q42_lsh_bucketed_neighbors",
+    "q43_embedding_near_dup_keepers",
     "q44_ivf_assignments",
+    "q45_ivf_ann_topk",
+    "q46_ivf_cluster_pairs",
     "q50_media_features",
     "q61_extract_html_docs",
     "q62_extract_spreadsheet",
+    "q63_extract_slides",
     "q64_extract_flowdoc",
 ]
 
@@ -67,15 +81,31 @@ def main() -> None:
     # Warm the JVM + python workers (excluded from timings).
     materialize(run_extraction(corpus_df(spark, 100, partitions=CPUS)))
 
+    from docling_service_spark.training import build_training_set
+
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    def best_of(name: str, fn, runs: int) -> float:
+        secs = [round(timed(fn), 3) for _ in range(runs)]
+        samples[name] = secs
+        best = min(secs)
+        timings[name] = best
+        return best
 
     # Headline: extraction throughput (no-shuffle fast path: generator/scan
-    # splits are the partitioner; see sparkio/pipeline.py).
-    t0 = time.perf_counter()
-    out = run_extraction(corpus_df(spark, N_DOCS, partitions=CPUS * 4))
-    materialize(out)
-    extract_sec = time.perf_counter() - t0
-    timings["extraction_pipeline"] = round(extract_sec, 3)
+    # splits are the partitioner; see sparkio/pipeline.py).  Best of
+    # HEADLINE_RUNS full passes.
+    extract_sec = best_of(
+        "extraction_pipeline",
+        lambda: materialize(run_extraction(corpus_df(spark, N_DOCS, partitions=CPUS * 4))),
+        HEADLINE_RUNS,
+    )
 
     # Python-stage wall (classify-stage dominance evidence): sum of per-batch
     # extractor wall time vs end-to-end wall.
@@ -86,11 +116,17 @@ def main() -> None:
     stats = lineage.groupBy().sum("wall_ms", "doc_count").collect()[0]
     classify_ms, n_docs_seen = int(stats[0]), int(stats[1])
 
+    # Training-set funnel over the extracted output (body strip → quality
+    # gate → exact dedup → chunk): times the end-to-end derivation the way a
+    # data pipeline would run it.  Extraction cost is included (the funnel
+    # consumes the extractor's output); compare against extraction_pipeline
+    # to isolate the funnel itself.
+    out_df = run_extraction(corpus_df(spark, N_DOCS, partitions=CPUS * 4))
+    best_of("training_funnel", lambda: materialize(build_training_set(out_df)), QUERY_RUNS)
+
     for name in BENCH_QUERIES:
         q = QUERIES[name]
-        t0 = time.perf_counter()
-        materialize(q(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best_of(name, lambda q=q: materialize(q(spark, SF_DIR)), QUERY_RUNS)
 
     docs_per_sec = N_DOCS / extract_sec
     print(json.dumps({
@@ -103,6 +139,9 @@ def main() -> None:
         "cpus": CPUS,
         "classify_stage_cpu_ms": classify_ms,
         "classify_share_of_cpu_budget": round(classify_ms / (extract_sec * CPUS * 1000), 3),
+        "protocol": {"headline_runs": HEADLINE_RUNS, "query_runs": QUERY_RUNS,
+                     "report": "min"},
+        "samples": samples,
     }))
     spark.stop()
 

@@ -45,8 +45,11 @@ def q21_quality_score(spark, sf_dir):
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     n_tokens = F.size(toks)
-    alpha_bp = F.floor(alpha * F.lit(10000) / length).cast("bigint")
-    mean_tok_len_e2 = F.floor(alpha * F.lit(100) / n_tokens).cast("bigint")
+    # bigint BEFORE the multiply: int32 `length * 10000` overflows at ~214k
+    # chars — real web documents cross that easily (found by the sf0.1
+    # training-funnel bench on oversized docs).
+    alpha_bp = F.floor(alpha.cast("bigint") * F.lit(10000) / length).cast("bigint")
+    mean_tok_len_e2 = F.floor(alpha.cast("bigint") * F.lit(100) / n_tokens).cast("bigint")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         length.cast("bigint").alias("n_chars_actual"),

@@ -59,7 +59,9 @@ def quality_gate(body_df: DataFrame, *, min_chars: int = MIN_BODY_CHARS,
     """q21-shaped composite over the extracted body (length + alpha ratio)."""
     length = F.length("body")
     alpha = F.length(F.regexp_replace("body", "[^A-Za-z]", ""))
-    alpha_bp = F.floor(alpha * F.lit(10000) / F.greatest(length, F.lit(1)))
+    # bigint BEFORE the multiply: int32 `alpha * 10000` overflows at ~214k
+    # alpha chars — oversized extracted bodies cross that (sf0.1 funnel bench).
+    alpha_bp = F.floor(alpha.cast("bigint") * F.lit(10000) / F.greatest(length, F.lit(1)))
     return body_df.filter((length >= min_chars) & (alpha_bp >= min_alpha_bp))
 
 

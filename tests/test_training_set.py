@@ -75,6 +75,39 @@ def test_exact_dedup_keeps_min_doc_id(spark):
     assert len(kept) == body.count() - 1
 
 
+def test_quality_gate_no_int_overflow_on_huge_body(spark):
+    # int32 `alpha * 10000` overflows at ~214k alpha chars — found by the
+    # sf0.1 funnel bench on oversized docs; the multiply must widen first.
+    from docling_service_spark.training import quality_gate
+
+    big = spark.createDataFrame([("d0", "abcdefgh  " * 40_000)], "doc_id string, body string")
+    rows = quality_gate(big).collect()  # 400k chars, 80% alpha → passes
+    assert [r["doc_id"] for r in rows] == ["d0"]
+
+
+def test_q21_no_int_overflow_on_huge_text(spark, tmp_path):
+    from docling_service_spark.queries.text_ops import q21_quality_score
+
+    big = spark.createDataFrame([(0, "abcdefgh  " * 40_000, "en")],
+                                "doc_id bigint, text string, lang string")
+    big.write.parquet(str(tmp_path / "documents.parquet"))
+    row = q21_quality_score(spark, str(tmp_path)).collect()[0]
+    assert row["alpha_bp"] == 8000 and row["passes_quality"]
+
+
+def test_body_split_anchors_on_last_sentinel(spark):
+    # A body whose own text contains the metadata sentinel must not truncate
+    # early: the block is appended at the END, so split on the LAST occurrence.
+    out = spark.createDataFrame(
+        [("d0", f"before{META_SENTINEL}middle{META_SENTINEL}tail-metadata", "completed"),
+         ("d1", "no sentinel at all", "completed")],
+        "doc_id string, markdown string, status string",
+    )
+    got = {r["doc_id"]: r["body"] for r in extracted_body(out).collect()}
+    assert got["d0"] == f"before{META_SENTINEL}middle"
+    assert got["d1"] == "no sentinel at all"
+
+
 def test_failed_docs_never_reach_training(spark):
     out = _extract(spark, corpus_df(spark, 250, partitions=2))  # includes idx 211 (malformed)
     assert out.filter(F.col("status") != "completed").count() > 0
