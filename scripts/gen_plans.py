@@ -41,7 +41,10 @@ PLAN_NOTES = [
      "(one extra aggregate + semi-join on shingle) — candidate fan-out per "
      "shingle bounded by MAX_SHINGLE_DF^2; token arrays materialized as a "
      "column before the shingle transform (21x: inlined split+filter was "
-     "re-evaluated per element)."),
+     "re-evaluated per element).  The per-doc sizes joins carry NO broadcast "
+     "hint (round-3 fix): sizes is corpus-cardinality, so the join strategy "
+     "is size-driven — AQE broadcasts at small scale (as seen in this plan), "
+     "shuffle-join keyed on id_a/id_b beyond the threshold."),
     ("q33_lsh_candidate_pairs",
      "MinHash band join over the FULL table: one base hash per shingle + K "
      "universal-hash min-aggregates (single shuffle), explode to (band, key), "
@@ -50,10 +53,14 @@ PLAN_NOTES = [
      "past the broadcast threshold AQE picks SMJ and the two identical "
      "signature subplans collapse under the ReuseExchange rule."),
     ("q45_ivf_ann_topk",
-     "IVF ANN search: probes route driver-side to nprobe nearest centroids "
-     "(centroids are k x 64 doubles), the route table broadcasts, and the "
-     "exact cosine top-k runs only over the joined clusters' vectors — "
-     "nprobe/k of the corpus scanned per probe instead of all of it."),
+     "IVF ANN search (frozen quantizer): probe routing is a Spark expression "
+     "— distances to the k centroid LITERALS sort as (dist, idx) structs and "
+     "the first nprobe explode into a k-bounded route table (N_QUERIES x "
+     "N_PROBE rows) that broadcasts safely at any corpus size; the exact "
+     "cosine top-k runs only over the joined clusters' vectors — nprobe/k of "
+     "the corpus scanned per probe instead of all of it.  At 100 TB, cluster "
+     "is the vector table's partition key, so the route join prunes "
+     "partitions."),
     ("q18_map_rollup",
      "Map functions: per-type partial+final aggregate, map_from_entries over "
      "sorted entries (deterministic key order), map_keys/element_at reads — "
