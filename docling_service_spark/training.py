@@ -27,6 +27,7 @@ row-local over the snapshot scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .engine.extract import META_BLOCK_PREFIX as META_SENTINEL
 from .queries.text_ops import CHUNK_STRIDE, CHUNK_TOKENS, chunk_token_arrays
@@ -67,11 +68,20 @@ def quality_gate(body_df: DataFrame, *, min_chars: int = MIN_BODY_CHARS,
 
 def exact_dedup(body_df: DataFrame) -> DataFrame:
     """First-writer-wins on the normalized-content fingerprint (q23/q30
-    recipe; reference scripts/r2_migrate_xxhash.py:256-273 keeper rule)."""
+    recipe; reference scripts/r2_migrate_xxhash.py:256-273 keeper rule).
+
+    Keeper selection is a WINDOW over the fingerprint, not a
+    groupBy+self-join: the join form evaluates the whole upstream pipeline
+    (extraction included) once per join side — measured +5.3 s on the sf0.1
+    funnel bench, where the window form is one pass and one shuffle."""
     fp = F.md5(F.regexp_replace(F.lower("body"), "[^a-z0-9]", ""))
-    keyed = body_df.withColumn("_fp", fp)
-    keepers = keyed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-    return keyed.join(keepers, ["_fp", "doc_id"], "inner").drop("_fp")
+    w = Window.partitionBy("_fp")
+    return (
+        body_df.withColumn("_fp", fp)
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
 
 
 def chunk(body_df: DataFrame, *, window: int = CHUNK_TOKENS,
