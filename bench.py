@@ -108,12 +108,16 @@ def main() -> None:
     )
 
     # Python-stage wall (classify-stage dominance evidence): sum of per-batch
-    # extractor wall time vs end-to-end wall.
+    # extractor wall time vs end-to-end wall — BOTH measured on this same
+    # lineage pass (mixing this numerator with the min-of-3 headline wall
+    # would systematically inflate the share under host variance).
+    t0 = time.perf_counter()
     lineage = derive_lineage(
         run_extraction(corpus_df(spark, N_DOCS, partitions=CPUS * 4)),
         run_id="bench", snapshot_id=0,
     )
     stats = lineage.groupBy().sum("wall_ms", "doc_count").collect()[0]
+    lineage_wall = time.perf_counter() - t0
     classify_ms, n_docs_seen = int(stats[0]), int(stats[1])
 
     # Training-set funnel over the extracted output (body strip → quality
@@ -138,7 +142,7 @@ def main() -> None:
         "n_docs": n_docs_seen,
         "cpus": CPUS,
         "classify_stage_cpu_ms": classify_ms,
-        "classify_share_of_cpu_budget": round(classify_ms / (extract_sec * CPUS * 1000), 3),
+        "classify_share_of_cpu_budget": round(classify_ms / (lineage_wall * CPUS * 1000), 3),
         "protocol": {"headline_runs": HEADLINE_RUNS, "query_runs": QUERY_RUNS,
                      "report": "min"},
         "samples": samples,

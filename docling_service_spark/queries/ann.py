@@ -88,17 +88,61 @@ def _sq_dist(emb_col, centroid: list) -> "F.Column":
     )
 
 
-def _assign(emb, centroids: list[list[float]]):
-    """vec_id, cluster, sq_dist — argmin via array_min over (dist, idx)
-    structs (struct ordering compares dist first, idx breaks ties
-    deterministically)."""
-    pairs = F.array(*[
-        F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(j).alias("c"))
+def _dist_structs(emb_col, centroids: list[list[float]]):
+    """Array of (dist, cluster-idx) structs against centroid LITERALS — the
+    single source for both the argmin (_assign) and the nprobe routing
+    (array_sort in ivf_ann_topk), so the tie-break and the fold expression
+    cannot drift between them."""
+    return F.array(*[
+        F.struct(_sq_dist(emb_col, c).alias("d"), F.lit(j).alias("c"))
         for j, c in enumerate(centroids)
     ])
-    best = F.array_min(pairs)
-    return emb.select("vec_id", "embedding",
-                      best["c"].alias("cluster"), best["d"].alias("sq_dist"))
+
+
+# Above this k the literal-expression argmin stops being the right plan: the
+# projection embeds k·DIM literal doubles and Catalyst planning cost grows
+# with expression size.  _assign switches to a broadcast-join + struct-min
+# aggregate — same values, same tie-break, same n·k distance work, but the
+# centroids travel as DATA (one small broadcast table) instead of plan nodes.
+_MAX_EXPR_K = 128
+
+
+def _assign_via_join(emb, centroids: list[list[float]]):
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "c int, w array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("w"),
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", F.struct(d.alias("d"), F.col("c").alias("c")).alias("p")
+    )
+    # min(struct) = identical (dist, idx) tie-break as array_min; first() of
+    # embedding is safe — it is constant within a vec_id group.  Map-side
+    # partial aggregation keeps the n·k expansion streaming, never stored.
+    best = scored.groupBy("vec_id").agg(
+        F.min("p").alias("b"), F.first("embedding").alias("embedding")
+    )
+    return best.select("vec_id", "embedding",
+                       F.col("b.c").alias("cluster"), F.col("b.d").alias("sq_dist"))
+
+
+def _assign(emb, centroids: list[list[float]]):
+    """vec_id, embedding, cluster, sq_dist — argmin via array_min over
+    (dist, idx) structs (struct ordering compares dist first, idx breaks
+    ties deterministically).  k ≤ _MAX_EXPR_K uses the zero-shuffle literal
+    expression; larger quantizers (rule-sized k at real scale) use the
+    broadcast-join form with the same values and tie-break."""
+    if len(centroids) <= _MAX_EXPR_K:
+        best = F.array_min(_dist_structs(F.col("embedding"), centroids))
+        return emb.select("vec_id", "embedding",
+                          best["c"].alias("cluster"), best["d"].alias("sq_dist"))
+    return _assign_via_join(emb, centroids)
 
 
 _CENTROID_CACHE: dict[tuple, list] = {}
@@ -126,17 +170,22 @@ def train_ivf(spark, sf_dir, *, k: int | None = IVF_K,
     also makes memoizing per (sf_dir, k, iters) safe: a q44+q45 sweep trains
     once instead of paying the iteration jobs twice.
 
-    ``k=None`` sizes the quantizer by the occupancy rule ``ivf_k_for(n)`` —
-    the scale path.  The default stays pinned at IVF_K so the shipped frozen
-    quantizer (scripts/freeze_centroids.py) and the static driver oracles
-    never drift.
+    ``k=None`` sizes the quantizer by the occupancy rule ``ivf_k_for(n)``.
+    The default stays pinned at IVF_K so the shipped frozen quantizer
+    (scripts/freeze_centroids.py) and the static driver oracles never drift.
 
-    Trains on ``training_sample`` (NOT the full table) and caches the sample
-    across iterations, so training costs one full scan (count + slice) plus
-    ``iters`` passes over ~k·256 cached rows — the round-2 verdict fix for 5
-    uncached full-table scans.  At the driver's sf0.01 (500 vectors <
-    target) the sample IS the full table, so frozen/live centroids there are
-    unchanged."""
+    Trains on ``training_sample`` (~k·256 rows) and PERSISTS the training
+    frame across Lloyd iterations unconditionally, so training costs one
+    full scan (count + slice) plus ``iters`` passes over cached rows — the
+    round-2 verdict fix for 5 uncached full-table scans.  Note the budget is
+    k-proportional: with rule-sized k (k ≈ n/256) the sample IS ~the whole
+    table — flat k-means genuinely needs O(k) training points, so at that
+    point the persist (MEMORY_AND_DISK) is what makes the loop affordable,
+    and the honest scale ceiling is k ~ 10^4-10^5 (driver centroid state is
+    k·DIM doubles; beyond that a two-level/hierarchical coarse quantizer is
+    the right tool, out of scope here).  At the driver's sf0.01 (500
+    vectors < target) the sample is the full table, so frozen/live
+    centroids there are unchanged."""
     key = (sf_dir, k, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
@@ -149,11 +198,7 @@ def train_ivf(spark, sf_dir, *, k: int | None = IVF_K,
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     centroids = [[float(x) for x in r["embedding"]] for r in init]
 
-    sample_target = k * 256
-    train = training_sample(emb, n_vecs, target=sample_target)
-    cached = n_vecs > sample_target
-    if cached:
-        train = train.persist()
+    train = training_sample(emb, n_vecs, target=k * 256).persist()
     dim_avgs = [F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"d{i}")
                 for i in range(DIM)]
     try:
@@ -162,8 +207,7 @@ def train_ivf(spark, sf_dir, *, k: int | None = IVF_K,
             by_cluster = {r["cluster"]: [r[f"d{i}"] for i in range(DIM)] for r in agg}
             centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]  # empty cluster keeps its centroid
     finally:
-        if cached:
-            train.unpersist()
+        train.unpersist()
     _CENTROID_CACHE[key] = centroids
     return centroids
 
@@ -186,22 +230,31 @@ def q44_ivf_assignments(spark, sf_dir):
     )
 
 
-def _oracle_q44() -> str:
+def _sql_quantizer_ctes() -> str:
+    """The shared frozen-quantizer SQL prefix (``cents``/``scored``/``asg``/
+    ``clus`` CTEs) composed by ALL THREE IVF oracles — one source of truth
+    for the centroid-literal rendering, the distance fold, and the argmin
+    tie-break, so a recipe change cannot desynchronize the oracles."""
     vals = ",\n".join(
         f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
         for j, c in enumerate(FROZEN_CENTROIDS)
     )
-    return f"""
-WITH cents(c, w) AS (VALUES {vals}),
+    return f"""cents(c, w) AS (VALUES {vals}),
 scored AS (
   SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.c AS c,
          list_aggregate(list_transform(generate_series(1, {DIM}),
            i -> (e.embedding[i]::DOUBLE - c.w[i]) * (e.embedding[i]::DOUBLE - c.w[i])), 'sum') AS d
   FROM embeddings e CROSS JOIN cents c),
-best AS (SELECT vec_id, min({{'d': d, 'c': c}}) AS b FROM scored GROUP BY vec_id)
+asg AS (SELECT vec_id, min({{'d': d, 'c': c}}) AS b FROM scored GROUP BY vec_id),
+clus AS (SELECT vec_id, CAST(b.c AS BIGINT) AS cluster FROM asg)"""
+
+
+def _oracle_q44() -> str:
+    return f"""
+WITH {_sql_quantizer_ctes()}
 SELECT vec_id, CAST(b.c AS BIGINT) AS cluster,
        CAST(FLOOR(b.d * 1000000) AS BIGINT) AS sq_dist_e6
-FROM best
+FROM asg
 """
 
 
@@ -221,10 +274,7 @@ def ivf_ann_topk(spark, sf_dir, centroids: list[list[float]]):
     )
     assigned = _assign(emb, centroids).select("vec_id", "embedding", "cluster")
 
-    dists = F.array(*[
-        F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(j).alias("c"))
-        for j, c in enumerate(centroids)
-    ])
+    dists = _dist_structs(F.col("embedding"), centroids)
     routes = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
@@ -262,23 +312,10 @@ def q45_ivf_ann_topk(spark, sf_dir):
 
 
 def _oracle_q45() -> str:
-    vals = ",\n".join(
-        f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
-        for j, c in enumerate(FROZEN_CENTROIDS)
-    )
-    sq = ("list_aggregate(list_transform(generate_series(1, {n}), "
-          "i -> ({v}[i]::DOUBLE - c.w[i]) * ({v}[i]::DOUBLE - c.w[i])), 'sum')")
     dot = ("list_aggregate(list_transform(generate_series(1, {n}), "
            "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')")
     return f"""
-WITH cents(c, w) AS (VALUES {vals}),
-scored AS (
-  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.c AS c,
-         {sq.format(n=DIM, v="e.embedding")} AS d
-  FROM embeddings e CROSS JOIN cents c),
-asg AS (
-  SELECT vec_id, CAST(min({{'d': d, 'c': c}}).c AS BIGINT) AS cluster
-  FROM scored GROUP BY vec_id),
+WITH {_sql_quantizer_ctes()},
 routes AS (
   SELECT vec_id AS probe_id, CAST(c AS BIGINT) AS cluster
   FROM (SELECT vec_id, c,
@@ -287,7 +324,7 @@ routes AS (
   WHERE rn <= {N_PROBE}),
 cands AS (
   SELECT r.probe_id, a.vec_id AS neighbor_id
-  FROM routes r JOIN asg a ON a.cluster = r.cluster),
+  FROM routes r JOIN clus a ON a.cluster = r.cluster),
 sims AS (
   SELECT cd.probe_id, cd.neighbor_id,
          CAST(FLOOR(({dot.format(n=DIM, a="p.embedding", b="e.embedding")})
@@ -356,10 +393,6 @@ def q46_ivf_cluster_pairs(spark, sf_dir):
 
 
 def _oracle_q46() -> str:
-    vals = ",\n".join(
-        f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
-        for j, c in enumerate(FROZEN_CENTROIDS)
-    )
     sql_dot = ("list_aggregate(list_transform(generate_series(1, {n}), "
                "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')")
     nemb = ("list_transform(embedding, x -> x::DOUBLE * (1.0 / sqrt("
@@ -367,18 +400,10 @@ def _oracle_q46() -> str:
     pair_dot = (f"list_aggregate(list_transform(generate_series(1, {DIM}), "
                 "i -> a.nemb[i] * c.nemb[i]), 'sum')")
     return f"""
-WITH cents(c, w) AS (VALUES {vals}),
-scored AS (
-  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.c AS c,
-         list_aggregate(list_transform(generate_series(1, {DIM}),
-           i -> (e.embedding[i]::DOUBLE - c.w[i]) * (e.embedding[i]::DOUBLE - c.w[i])), 'sum') AS d
-  FROM embeddings e CROSS JOIN cents c),
-asg AS (
-  SELECT vec_id, CAST(min({{'d': d, 'c': c}}).c AS BIGINT) AS cluster
-  FROM scored GROUP BY vec_id),
+WITH {_sql_quantizer_ctes()},
 n AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, {nemb} AS nemb FROM embeddings),
-w AS (SELECT asg.vec_id, asg.cluster, n.nemb FROM asg JOIN n ON n.vec_id = asg.vec_id)
+w AS (SELECT clus.vec_id, clus.cluster, n.nemb FROM clus JOIN n ON n.vec_id = clus.vec_id)
 SELECT id_a, id_b, cluster, sim_e6 FROM (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.cluster AS cluster,
          CAST(FLOOR({pair_dot} * 1000000) AS BIGINT) AS sim_e6

@@ -138,10 +138,11 @@ def _markdown_worklist(output_df: DataFrame,
         # NOT broadcast: names_df is one row per doc (same cardinality as the
         # output), so at scale this is an equi-join on doc_id that AQE plans
         # as SMJ/shuffle-hash; forcing broadcast would ship the whole corpus'
-        # names to every task.  dropDuplicates: in merge mode the raw input
-        # can carry the same doc_id twice (two versions in one batch) — an
-        # undeduped left join would fan the worklist out to duplicate upload
-        # rows and inflate the returned count.
+        # names to every task.  dropDuplicates is a fan-out SAFETY NET only
+        # (an undeduped left join would duplicate upload rows); its pick is
+        # arbitrary, so merge-mode callers must pre-dedup names with the SAME
+        # version rule that picked the kept content (job.py resolves via
+        # prepare_input's max-_input_hash window before passing names here).
         names = names_df.select("doc_id", "original_name").dropDuplicates(["doc_id"])
         work = work.join(names, "doc_id", "left")
     else:

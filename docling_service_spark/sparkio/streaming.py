@@ -192,7 +192,7 @@ def stream_sessionize(
     output_root: str,
     *,
     gap_minutes: int = SESSION_GAP_MIN,
-    watermark: str = "30 minutes",
+    watermark: Optional[str] = "30 minutes",
     max_files_per_trigger: Optional[int] = None,
     await_termination: bool = True,
 ):

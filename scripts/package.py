@@ -24,6 +24,14 @@ def build(out: Path | None = None) -> Path:
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for py in sorted(pkg.rglob("*.py")):
             zf.write(py, py.relative_to(REPO))
+        # Package DATA files (the q60 golden parquet): shipped so an
+        # unzip-to-disk deployment has the complete package.  NOTE the q60
+        # oracle resolves the golden via __file__, so oracle_sql() consumers
+        # must run from a real checkout or an EXTRACTED zip — DuckDB cannot
+        # read parquet from inside a zip import (executors never need it;
+        # only the driver-side oracle harness does).
+        for data in sorted(pkg.rglob("*.parquet")):
+            zf.write(data, data.relative_to(REPO))
     return out
 
 

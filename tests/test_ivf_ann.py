@@ -100,6 +100,24 @@ def test_ivf_recall_vs_bruteforce(spark):
             assert r["neighbor_id"] == r["probe_id"]
 
 
+def test_assign_via_join_matches_literal_path(spark):
+    """The broadcast-join assignment (large-k path) must be value-identical
+    to the literal-expression path: same clusters, same sq_dist doubles,
+    same (dist, idx) tie-break."""
+    from pyspark.sql import functions as F
+
+    from docling_service_spark.queries.ann import _assign, _assign_via_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    lit_rows = {r["vec_id"]: (r["cluster"], r["sq_dist"])
+                for r in _assign(emb, FROZEN_CENTROIDS).collect()}
+    join_rows = {r["vec_id"]: (r["cluster"], r["sq_dist"])
+                 for r in _assign_via_join(emb, FROZEN_CENTROIDS).collect()}
+    assert lit_rows == join_rows  # exact, including float bits
+
+
 def test_ann_rows_shape(spark):
     df = q45_ivf_ann_topk(spark, SF_DIR)
     rows = df.collect()
