@@ -8,7 +8,7 @@
               and multimodal-plumbing operators.
 ``oracle_sql`` — DuckDB equivalents for every query: q60 oracles against a
               committed golden parquet (scripts/freeze_q60_golden.py), q45
-              against the frozen IVF quantizer — 43/43 oracled.
+              against the frozen IVF quantizer — 44/44 oracled.
 """
 
 from __future__ import annotations

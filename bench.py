@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q45_ivf_ann_topk",
     "q46_ivf_cluster_pairs",
     "q50_media_features",
+    "q51_frame_sample",
     "q61_extract_html_docs",
     "q62_extract_spreadsheet",
     "q63_extract_slides",

@@ -75,5 +75,88 @@ FROM documents
 """
 
 
-QUERIES = {"q50_media_features": q50_media_features}
-ORACLES = {"q50_media_features": ORACLE_Q50}
+# --- q51: video frame sampling (the brief's "frame-sample" op) --------------------
+
+FRAME_MS = 40          # 25 fps
+FRAME_STRIDE = 3       # keep every 3rd frame
+MAX_SAMPLED = 10       # per-video sample cap
+
+FRAMES_OUT_DDL = "media_id bigint, frame_idx bigint, ts_ms bigint, luma bigint"
+
+
+def _sample_frames_stub(payload: bytes) -> list[tuple[int, int, int]]:
+    """Deterministic stand-in for ffmpeg frame extraction: the video's frame
+    count comes from the q50 decode rule (len//100 + 1), sampling keeps
+    every FRAME_STRIDE-th frame up to MAX_SAMPLED, and the per-frame "luma"
+    feature is the byte at the frame's notional offset.  A real
+    implementation seeks with ``ffmpeg -ss`` / PyAV per sampled index — the
+    1→many row fan-out, the sampled-index arithmetic, and the batch shape
+    are exactly what it would use."""
+    if not payload:
+        return []
+    n_frames = len(payload) // 100 + 1
+    out = []
+    for k in range(MAX_SAMPLED):
+        idx = k * FRAME_STRIDE
+        if idx >= n_frames:
+            break
+        out.append((idx, idx * FRAME_MS, payload[(idx * 100) % len(payload)]))
+    return out
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, idxs, tss, lumas = [], [], [], []
+        for mid, payload in zip(pdf["media_id"], pdf["media_bytes"]):
+            for idx, ts, luma in _sample_frames_stub(payload):
+                ids.append(int(mid))
+                idxs.append(idx)
+                tss.append(ts)
+                lumas.append(luma)
+        yield pd.DataFrame({
+            "media_id": pd.Series(ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int64"),
+            "ts_ms": pd.Series(tss, dtype="int64"),
+            "luma": pd.Series(lumas, dtype="int64"),
+        })
+
+
+def q51_frame_sample(spark, sf_dir):
+    """binary video column → mapInPandas frame sampler → one row per sampled
+    frame.  The 1→many fan-out shape (each input row yields a variable
+    number of output rows inside the Arrow batch) is the frame-extraction
+    pattern at any scale: no explode shuffle, no driver involvement, output
+    partitioning inherits the input's."""
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("bigint").alias("media_id"),
+        F.encode("text", "utf-8").alias("media_bytes"),
+    )
+    return media.mapInPandas(_frame_batches, FRAMES_OUT_DDL)
+
+
+# Same ASCII-safe byte<->char correspondence as q50's oracle; the sampled
+# index set unrolls as a bounded generate_series cross join.
+ORACLE_Q51 = f"""
+WITH v AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+         strlen(text) // 100 + 1 AS n_frames, strlen(text) AS nb
+  FROM documents WHERE strlen(text) > 0),
+ks AS (SELECT unnest(generate_series(0, {MAX_SAMPLED - 1})) AS k)
+SELECT media_id,
+       CAST(k * {FRAME_STRIDE} AS BIGINT) AS frame_idx,
+       CAST(k * {FRAME_STRIDE} * {FRAME_MS} AS BIGINT) AS ts_ms,
+       CAST(ascii(substr(text, ((k * {FRAME_STRIDE} * 100) % nb) + 1, 1)) AS BIGINT) AS luma
+FROM v CROSS JOIN ks
+WHERE k * {FRAME_STRIDE} < n_frames
+"""
+
+
+QUERIES = {
+    "q50_media_features": q50_media_features,
+    "q51_frame_sample": q51_frame_sample,
+}
+ORACLES = {
+    "q50_media_features": ORACLE_Q50,
+    "q51_frame_sample": ORACLE_Q51,
+}
