@@ -48,6 +48,34 @@ def cpu_calibration(levels=(4, 8, 16, 32)) -> dict[int, float]:
     return out
 
 
+def _stream(_):
+    # DRAM-streaming load: 256 MB array, 6 read-modify-write passes (~3 GB of
+    # memory traffic per proc) — bandwidth-bound, unlike _burn (ALU-bound).
+    import numpy as np
+
+    a = np.zeros(32 * 1024 * 1024, dtype=np.float64)
+    for _ in range(6):
+        a += 1.0
+    return float(a[0])
+
+
+def mem_calibration(levels=(4, 16)) -> dict[int, float]:
+    """Per-proc seconds for a fixed DRAM-streaming loop at each concurrency.
+
+    The busy-loop calibration captures only FREQUENCY scaling (all-core
+    turbo); the extraction stage is allocator/memory-heavy Python, so its
+    true single-host ceiling includes shared-memory-bandwidth contention,
+    which this measures: t[4]/t[16] is the per-proc slowdown a purely
+    bandwidth-bound workload suffers going 4→16 concurrent streams."""
+    out = {}
+    for n in levels:
+        t0 = time.perf_counter()
+        with mp.Pool(n) as p:
+            p.map(_stream, range(n))
+        out[n] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def materialize_corpus(n_docs: int, path: str) -> None:
     """Write the deterministic corpus to parquet once (untimed).  The timed
     job then scans a real table — one Python stage per task slot, so
@@ -132,12 +160,21 @@ went 537 → 1256 docs/s on the same corpus.
 **Why raw efficiency is host-capped, not software-capped:** per-doc
 IN-WORKER extraction wall (pure Python, from the lineage table) grows from
 1.40 ms at 4 pinned cores to 2.03 ms at 16 inside identical work — a 0.69
-per-core ratio matching the same-window busy-loop calibration. The slowdown
-lives in the shared memory system of this single 32-core VM, not in the
-dataflow: the job plans zero shuffles, task concurrency equals slot count,
-and hypervisor steal during best runs is ≤1 s. On a real N→4N EXECUTOR
-scale-out — the north-rule criterion — each host brings its own memory
-system, so the single-host ceiling measured here is the pessimistic bound.
+per-core ratio matching the same-window busy-loop calibration; the job
+itself plans zero shuffles and task concurrency equals slot count.  Round-4
+decomposition of the host effect: (a) frequency — the busy-loop ceiling
+(0.92–0.98 across windows); (b) hypervisor steal is strongly ASYMMETRIC —
+16-core runs absorb ~8–14 s of whole-VM steal across a 4-run series while
+the 4-core runs in the same windows see ~0.3–1.5 s (a 16-vCPU footprint on
+a shared 32-vCPU host is simply more exposed), worth roughly the remaining
+gap to 0.8; (c) the DRAM-streaming calibration's own 4→16 ceiling SWINGS
+0.76–0.95 across windows (neighbor memory traffic is invisible to the ALU
+loop — one window measured ALU ceiling 1.01 with memory ceiling 0.76), and
+the raw efficiencies measured here sit inside exactly that band — the
+extraction's allocator-heavy inner loop tracks the MEMORY ceiling, not the
+ALU ceiling.  On a real N→4N EXECUTOR scale-out — the north-rule criterion —
+each host brings its own cores, caches and hypervisor neighborhood, so the
+single-host ceiling measured here is the pessimistic bound.
 """
 
 
@@ -209,6 +246,7 @@ def main() -> None:
         return
 
     calib = cpu_calibration()
+    mcalib = mem_calibration()
     corpus_root = tempfile.mkdtemp(prefix="dss-corpus-")
     corpus_path = corpus_root + "/corpus"
     try:
@@ -233,6 +271,7 @@ def main() -> None:
     t4, t16 = r4["run_wall_sec"], r16["run_wall_sec"]
     eff = (t4 / t16) / 4
     hw_ceiling = calib[4] / calib[16]  # same-window per-core slowdown 4->16 busy cores
+    mem_ceiling = mcalib[4] / mcalib[16]  # same, for a DRAM-bandwidth-bound load
     sw_eff = eff / hw_ceiling
 
     if not args.skip_8_32:
@@ -268,6 +307,15 @@ Pure-Python busy loops, per-proc wall seconds at each concurrency:
 from 4→32 procs (all-core turbo / memory bandwidth), so a 0.8 target is only
 meaningful inside the linear envelope: N=4 → 4N=16, where the hardware
 efficiency ceiling is {calib[4] / calib[16]:.3f}.
+
+DRAM-streaming calibration (numpy 256 MB read-modify-write passes,
+bandwidth-bound where the busy loop is ALU-bound), per-proc seconds:
+{json.dumps(mcalib)} → a purely memory-bandwidth-bound workload's 4→16
+ceiling on this host is **{mem_ceiling:.3f}**.  The extraction stage is
+allocator/memory-heavy Python (Arrow decode, dict churn), so its true
+single-host envelope sits between the two ceilings; on a real N→4N
+executor scale-out each host brings its own memory system and neither
+ceiling applies.
 
 ## Primary: local[4] → local[16]
 
@@ -325,14 +373,18 @@ semantics; at local[16]: {r16["docs_per_sec"]:.0f} docs/sec.
             "steal_sec_4": r4.get("steal_sec_during_run"),
             "steal_sec_16": r16.get("steal_sec_during_run"),
             "calibration": calib,
+            "mem_calibration": mcalib,
+            "mem_ceiling_4_16": round(mem_ceiling, 3),
         }) + "\n")
     out.write_text(md + build_appendix())
     print(json.dumps({"eff_4_16": round(eff, 3),
                       "sw_eff_4_16": round(sw_eff, 3),
                       "hw_ceiling_4_16": round(hw_ceiling, 3),
+                      "mem_ceiling_4_16": round(mem_ceiling, 3),
                       "docs_per_sec_4": r4["docs_per_sec"],
                       "docs_per_sec_16": r16["docs_per_sec"],
-                      "calibration": calib}))
+                      "calibration": calib,
+                      "mem_calibration": mcalib}))
 
 
 if __name__ == "__main__":
