@@ -139,6 +139,30 @@ def test_vacuum_expires_old_manifests(tmp_path):
     assert "manifest-15.json" in remaining and "manifest-5.json" not in remaining
 
 
+def test_vacuum_after_metadata_only_commits_keeps_data_live(spark, tmp_path):
+    """Metadata-only commits (empty new_buckets — the summary-migration /
+    no-data-change path) carry the parent's bucket map forward, so even an
+    aggressive vacuum that expires every DATA-BEARING manifest must keep the
+    run dirs those metadata-only manifests still reference."""
+    from docling_service_spark.sparkio.checkpoint import vacuum
+
+    root = str(tmp_path / "table")
+    run_incremental(spark, corpus_df(spark, 40, partitions=2), root,
+                    n_buckets=4, num_partitions=2, run_id="data1")
+    store = SnapshotStore(root)
+    for i in range(3):  # pile metadata-only commits on top
+        store.commit([], f"meta{i}")
+    assert store.current_manifest()["snapshot_id"] == 4
+
+    # keep_manifests=2 retains ONLY metadata-only manifests (3, 4); the
+    # data-bearing manifest-1 expires.
+    report = vacuum(root, keep_manifests=2, min_age_hours=0)
+    assert "manifest-1.json" in report["removed_manifests"]
+    assert report["removed_run_dirs"] == []  # data1's dir still referenced
+    assert store.read_output(spark).count() == 40
+    assert store.live_doc_count() == 40  # bucket_sums carried through too
+
+
 def test_register_views_sql_surface(spark, tmp_path):
     from docling_service_spark.sparkio.checkpoint import register_views
 
