@@ -179,6 +179,51 @@ def stream_window_counts(
     return query
 
 
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    *,
+    keys: tuple = ("event_id",),
+    watermark: str = "30 minutes",
+    max_files_per_trigger: Optional[int] = None,
+    await_termination: bool = True,
+):
+    """Streaming exact dedup with BOUNDED state: at-least-once upstream
+    delivery (replayed files, reconnecting producers) becomes exactly-once
+    downstream by key.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-safe form: plain
+    ``dropDuplicates`` on a stream keeps every key ever seen (state grows
+    forever), while the watermark variant expires a key's dedup state once
+    the event-time watermark passes it — duplicates arriving within the
+    watermark window collapse, state stays O(keys-per-window).  Duplicates
+    straddling a longer gap than the watermark would pass through: size the
+    watermark to the upstream's maximum replay horizon."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = (
+        reader.parquet(input_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    deduped = ev.dropDuplicatesWithinWatermark(list(keys))
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(output_root, "data"))
+        .option("checkpointLocation", os.path.join(output_root, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 SESSION_GAP_MIN = 30
 
 _SESSION_OUT_DDL = ("user_id bigint, session_start timestamp, session_end timestamp, "

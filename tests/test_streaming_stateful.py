@@ -152,3 +152,37 @@ def test_sessionize_idle_state_expires_and_flushes(spark, tmp_path):
     assert len(u1b) >= 2
     assert u1b[1]["n_events"] == 1
     assert (u1b[1]["session_start"].hour, u1b[1]["session_end"].hour) == (16, 16)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once input (replayed event_ids across micro-batches) →
+    exactly-once output; a duplicate arriving WITHIN the watermark collapses
+    even when it lands in a later wave."""
+    from docling_service_spark.sparkio.streaming import stream_dedup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(inp)
+    base = time.time() - 1000
+    # Wave 1: events 1, 2 (2 duplicated in-batch).
+    _write_wave(spark, inp, "w1", [(1, _t(10, 0), 1, "click", 1.0),
+                                   (2, _t(10, 5), 2, "view", 2.0),
+                                   (2, _t(10, 5), 2, "view", 2.0)], base)
+    # Wave 2: event 2 REPLAYED (within the 30-min watermark of its ts) plus
+    # a genuinely new event 3.
+    _write_wave(spark, inp, "w2", [(2, _t(10, 5), 2, "view", 2.0),
+                                   (3, _t(10, 20), 3, "click", 3.0)], base + 10)
+
+    stream_dedup(spark, inp, out, watermark="30 minutes", max_files_per_trigger=1)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]  # each event exactly once
+
+    # Replay wave 3 with yet another copy of event 2 → still no new row
+    # (checkpoint resume, state within watermark), plus new event 4.
+    _write_wave(spark, inp, "w3", [(2, _t(10, 5), 2, "view", 2.0),
+                                   (4, _t(10, 25), 4, "view", 4.0)], base + 20)
+    stream_dedup(spark, inp, out, watermark="30 minutes", max_files_per_trigger=1)
+    ids = sorted(r["event_id"] for r in
+                 spark.read.parquet(os.path.join(out, "data")).collect())
+    assert ids == [1, 2, 3, 4]
