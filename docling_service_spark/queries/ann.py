@@ -10,12 +10,13 @@ Spark-first:
   Centroids live on the driver between iterations (k x 64 doubles — the
   standard MLlib-style pattern; they are broadcast INTO expressions as
   literals, so executors never see python loops).
-- **Search** (q45): probes route to their ``nprobe`` nearest centroids
-  (driver-side — centroids are tiny), candidates are the union of those
-  clusters' vectors (a partition-pruned semi-join at scale: cluster is the
-  natural partition key of the vector table), and the exact cosine top-k
-  runs only within candidates.  At 100 TB this is the difference between
-  scanning everything per probe (q40) and scanning ``nprobe/k`` of it.
+- **Search** (q45): probes route to their ``nprobe`` nearest centroids via
+  a Spark expression (array_sort over (dist, idx) structs — no driver
+  compute), candidates are the union of those clusters' vectors (a
+  partition-pruned semi-join at scale: cluster is the natural partition key
+  of the vector table), and the exact cosine top-k runs only within
+  candidates.  At 100 TB this is the difference between scanning everything
+  per probe (q40) and scanning ``nprobe/k`` of it.
 
 k-means TRAINING is iterative and FP-order sensitive, so the live-training
 path is pytest-covered (argmin vs a NumPy recomputation, recall@k vs the
