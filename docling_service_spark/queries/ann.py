@@ -102,26 +102,37 @@ def _dist_structs(emb_col, centroids: list[list[float]]):
 
 # Above this k the literal-expression argmin stops being the right plan: the
 # projection embeds k·DIM literal doubles and Catalyst planning cost grows
-# with expression size.  _assign switches to a broadcast-join + struct-min
-# aggregate — same values, same tie-break, same n·k distance work, but the
-# centroids travel as DATA (one small broadcast table) instead of plan nodes.
+# with expression size.  _assign (and ivf_ann_topk's probe routing) switch to
+# a broadcast-join + struct-min/window form — same values, same tie-break,
+# same n·k distance work, but the centroids travel as DATA (one small
+# broadcast table) instead of plan nodes.
 _MAX_EXPR_K = 128
 
 
-def _assign_via_join(emb, centroids: list[list[float]]):
-    spark = emb.sparkSession
-    cents = spark.createDataFrame(
+def _centroids_df(spark, centroids: list[list[float]]):
+    return spark.createDataFrame(
         [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
         "c int, w array<double>",
     )
-    d = F.aggregate(
+
+
+def _sq_dist_to_w():
+    """Distance of the ``embedding`` column to the joined centroid row's
+    ``w`` column — the join-path twin of _sq_dist (identical fold, so the
+    two paths are value-identical to the float bit)."""
+    return F.aggregate(
         F.zip_with(F.col("embedding"), F.col("w"),
                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _assign_via_join(emb, centroids: list[list[float]]):
+    cents = _centroids_df(emb.sparkSession, centroids)
     scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", F.struct(d.alias("d"), F.col("c").alias("c")).alias("p")
+        "vec_id", "embedding",
+        F.struct(_sq_dist_to_w().alias("d"), F.col("c").alias("c")).alias("p")
     )
     # min(struct) = identical (dist, idx) tie-break as array_min; first() of
     # embedding is safe — it is constant within a vec_id group.  Map-side
@@ -275,13 +286,30 @@ def ivf_ann_topk(spark, sf_dir, centroids: list[list[float]]):
     )
     assigned = _assign(emb, centroids).select("vec_id", "embedding", "cluster")
 
-    dists = _dist_structs(F.col("embedding"), centroids)
-    routes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
-                F.explode(F.slice(F.array_sort(dists), 1, N_PROBE)).alias("r"))
-        .select("probe_id", "pe", F.col("r.c").cast("int").alias("cluster"))
-    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    if len(centroids) <= _MAX_EXPR_K:
+        dists = _dist_structs(F.col("embedding"), centroids)
+        routes = (
+            probes.select(F.col("vec_id").alias("probe_id"),
+                          F.col("embedding").alias("pe"),
+                          F.explode(F.slice(F.array_sort(dists), 1, N_PROBE)).alias("r"))
+            .select("probe_id", "pe", F.col("r.c").cast("int").alias("cluster"))
+        )
+    else:
+        # Large-k routing mirrors _assign_via_join: centroids as a broadcast
+        # table, rank-per-probe window with the same (dist, idx) tie-break —
+        # no k·DIM literals in the plan (the _MAX_EXPR_K rationale).
+        cents = _centroids_df(spark, centroids)
+        rw = Window.partitionBy("probe_id").orderBy("d", "c")
+        routes = (
+            probes.crossJoin(F.broadcast(cents))
+            .select(F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("pe"),
+                    _sq_dist_to_w().alias("d"), F.col("c"))
+            .withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("rn") <= N_PROBE)
+            .select("probe_id", "pe", F.col("c").cast("int").alias("cluster"))
+        )
     cands = assigned.join(F.broadcast(routes), "cluster").select(
         "probe_id", "pe", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )

@@ -51,14 +51,21 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def q50_media_features(spark, sf_dir):
-    """binary column → mapInPandas(decode stub) → typed feature rows."""
+def _media_df(spark, sf_dir):
+    """The shared binary-media view of the documents table: q50 and q51 MUST
+    use the same bytes<->text correspondence (their oracles recompute stub
+    features from `text` under the ASCII assumption), so the projection
+    lives in exactly one place."""
     docs = load(spark, sf_dir, "documents")
-    media = docs.select(
+    return docs.select(
         F.col("doc_id").cast("bigint").alias("media_id"),
         F.encode("text", "utf-8").alias("media_bytes"),
     )
-    return media.mapInPandas(_decode_batches, MEDIA_OUT_DDL)
+
+
+def q50_media_features(spark, sf_dir):
+    """binary column → mapInPandas(decode stub) → typed feature rows."""
+    return _media_df(spark, sf_dir).mapInPandas(_decode_batches, MEDIA_OUT_DDL)
 
 
 # Oracle recomputes the stub's features from text: for ASCII-safe synthetic
@@ -127,12 +134,7 @@ def q51_frame_sample(spark, sf_dir):
     number of output rows inside the Arrow batch) is the frame-extraction
     pattern at any scale: no explode shuffle, no driver involvement, output
     partitioning inherits the input's."""
-    docs = load(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").cast("bigint").alias("media_id"),
-        F.encode("text", "utf-8").alias("media_bytes"),
-    )
-    return media.mapInPandas(_frame_batches, FRAMES_OUT_DDL)
+    return _media_df(spark, sf_dir).mapInPandas(_frame_batches, FRAMES_OUT_DDL)
 
 
 # Same ASCII-safe byte<->char correspondence as q50's oracle; the sampled

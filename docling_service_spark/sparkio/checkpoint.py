@@ -455,6 +455,23 @@ def prepare_input(input_df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def dedup_latest_version(prepared: DataFrame) -> DataFrame:
+    """Collapse duplicate doc_ids within one batch to ONE row — THE merge-mode
+    version rule (deterministic max ``_input_hash``; arbitrary between
+    versions since a DataFrame carries no arrival order).  Every consumer of
+    a merge batch MUST pick through this helper: ``run_merge_upsert`` uses it
+    for the kept content, ``job.py --markdown-store`` for the upload
+    filenames — a second inline copy of the window would silently
+    desynchronize name from content if the rule ever changed."""
+    from pyspark.sql.window import Window
+
+    return (
+        prepared.withColumn("_rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("_input_hash").desc())))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
 def notify_completion(callback, payload: dict) -> None:
     """Post-commit hook — the engine's webhook analog (reference
     ``app/main.py:879-915``: POST of {task_id, status, detail, totals, url}
@@ -690,15 +707,7 @@ def run_merge_upsert(
     store = SnapshotStore(root)
     store.check_n_buckets(n_buckets)
     run_id = run_id or uuid.uuid4().hex[:12]
-    from pyspark.sql.window import Window
-
-    deduped = (
-        prepare_input(input_df, n_buckets)
-        .withColumn("_rn", F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.col("_input_hash").desc())))
-        .filter(F.col("_rn") == 1).drop("_rn")
-    )
-    prepared = deduped.persist()
+    prepared = dedup_latest_version(prepare_input(input_df, n_buckets)).persist()
     try:
         parent_manifest = store.current_manifest()
         expected_parent = parent_manifest["snapshot_id"] if parent_manifest else None

@@ -128,6 +128,31 @@ def read_stream_output(spark: SparkSession, output_root: str):
 EVENTS_DDL = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double"
 
 
+def _events_reader(spark: SparkSession, input_path: str,
+                   max_files_per_trigger: Optional[int]):
+    """Shared event-stream source (schema + trigger pacing + parquet) for
+    the three event operators below — one copy of the reader boilerplate."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def _parquet_sink(df, output_root: str, await_termination: bool):
+    """Shared append-mode parquet sink with availableNow + checkpoint."""
+    query = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(output_root, "data"))
+        .option("checkpointLocation", os.path.join(output_root, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 def stream_window_counts(
     spark: SparkSession,
     input_path: str,
@@ -148,10 +173,7 @@ def stream_window_counts(
     (batch-mode replay of the continuous semantics)."""
     from pyspark.sql import functions as F
 
-    reader = spark.readStream.schema(EVENTS_DDL)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    ev = reader.parquet(input_path)
+    ev = _events_reader(spark, input_path, max_files_per_trigger)
     agg = (
         ev.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
@@ -166,17 +188,7 @@ def stream_window_counts(
             "event_type", "n_events", "total_value",
         )
     )
-    query = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", os.path.join(output_root, "data"))
-        .option("checkpointLocation", os.path.join(output_root, "_stream_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        query.awaitTermination()
-    return query
+    return _parquet_sink(agg, output_root, await_termination)
 
 
 def stream_dedup(
@@ -202,26 +214,13 @@ def stream_dedup(
     watermark to the upstream's maximum replay horizon."""
     from pyspark.sql import functions as F
 
-    reader = spark.readStream.schema(EVENTS_DDL)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = (
-        reader.parquet(input_path)
+        _events_reader(spark, input_path, max_files_per_trigger)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )
-    deduped = ev.dropDuplicatesWithinWatermark(list(keys))
-    query = (
-        deduped.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", os.path.join(output_root, "data"))
-        .option("checkpointLocation", os.path.join(output_root, "_stream_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        query.awaitTermination()
-    return query
+    return _parquet_sink(ev.dropDuplicatesWithinWatermark(list(keys)),
+                         output_root, await_termination)
 
 
 SESSION_GAP_MIN = 30
@@ -345,10 +344,7 @@ def stream_sessionize(
 
     from pyspark.sql import functions as F
 
-    reader = spark.readStream.schema(EVENTS_DDL)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    ev = reader.parquet(input_path) \
+    ev = _events_reader(spark, input_path, max_files_per_trigger) \
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
     if watermark is not None:
         ev = ev.withWatermark("ts", watermark)
@@ -360,14 +356,4 @@ def stream_sessionize(
         timeoutConf=(GroupStateTimeout.EventTimeTimeout if watermark is not None
                      else GroupStateTimeout.NoTimeout),
     )
-    query = (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", os.path.join(output_root, "data"))
-        .option("checkpointLocation", os.path.join(output_root, "_stream_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        query.awaitTermination()
-    return query
+    return _parquet_sink(sessions, output_root, await_termination)

@@ -190,22 +190,17 @@ def main(argv=None) -> int:
                 names_src = inp
                 if args.merge_upsert:
                     # A merge batch may carry the same doc_id twice; the
-                    # merge keeps the max-_input_hash version's CONTENT
-                    # (run_merge_upsert), so the uploaded filename must come
-                    # from that SAME version — an arbitrary pick could pair
-                    # the kept bytes with the discarded version's name and
-                    # mint a second key on re-run.
-                    from pyspark.sql.window import Window
-
-                    from docling_service_spark.sparkio.checkpoint import prepare_input
-
-                    names_src = (
-                        prepare_input(inp, args.n_buckets)
-                        .withColumn("_rn", F.row_number().over(
-                            Window.partitionBy("doc_id")
-                            .orderBy(F.col("_input_hash").desc())))
-                        .filter(F.col("_rn") == 1)
+                    # merge keeps the max-_input_hash version's CONTENT, so
+                    # the uploaded filename must come from that SAME version
+                    # — resolved through the ONE shared rule
+                    # (dedup_latest_version), never an inline copy.
+                    from docling_service_spark.sparkio.checkpoint import (
+                        dedup_latest_version,
+                        prepare_input,
                     )
+
+                    names_src = dedup_latest_version(
+                        prepare_input(inp, args.n_buckets))
                 names = names_src.select(
                     "doc_id", F.col("source.original_name").alias("original_name"))
             report["markdown_uploaded"] = upload_markdown(

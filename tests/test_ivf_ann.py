@@ -118,6 +118,17 @@ def test_assign_via_join_matches_literal_path(spark):
     assert lit_rows == join_rows  # exact, including float bits
 
 
+def test_large_k_routing_matches_literal_path(spark, monkeypatch):
+    """Forcing the broadcast-join routing (as used above _MAX_EXPR_K) must
+    reproduce the literal-expression q45 result exactly."""
+    from docling_service_spark.queries import ann
+
+    lit_rows = sorted(tuple(r) for r in ann.q45_ivf_ann_topk(spark, SF_DIR).collect())
+    monkeypatch.setattr(ann, "_MAX_EXPR_K", 0)
+    join_rows = sorted(tuple(r) for r in ann.q45_ivf_ann_topk(spark, SF_DIR).collect())
+    assert lit_rows == join_rows
+
+
 def test_ann_rows_shape(spark):
     df = q45_ivf_ann_topk(spark, SF_DIR)
     rows = df.collect()
