@@ -94,6 +94,18 @@ PLAN_NOTES = [
      "cluster per row (no join), then the self-join keys on cluster — the "
      "vector table's natural partition key, so at scale this is a "
      "co-located join after partitioning by cluster, not a wide shuffle."),
+    ("q43_embedding_near_dup_keepers",
+     "Connected-component keepers: the plan below is a bare checkpoint scan "
+     "BY DESIGN — each pointer-jumping round ends in one materializing "
+     "localCheckpoint (or parquet spill with checkpoint_dir=), so the "
+     "returned labels never drag the iterative join chain behind them; "
+     "per-round cost is 3 bounded joins + 1 aggregate on uniform keys, "
+     "O(log diameter) rounds total."),
+    ("q51_frame_sample",
+     "Frame sampling: columnar scan feeds mapInPandas directly — the 1-to-"
+     "many fan-out (variable rows per video) happens INSIDE the Arrow "
+     "batch, so there is no explode, no shuffle, and output partitioning "
+     "inherits the scan's; ReadSchema pruned to (doc_id, text)."),
 ]
 
 HEADER = """# PLANS — physical plans of headline queries (sf0.1, local[8])
