@@ -56,6 +56,14 @@ def main(argv=None) -> int:
                     help="upload this run's completed markdown blobs under "
                          "markdown/{doc_id}/{filename} at this store path "
                          "(reference app/main.py:855-868)")
+    ap.add_argument("--vacuum-keep", type=int, default=None, metavar="N",
+                    help="after the run, vacuum the table: keep the last N "
+                         "manifests, delete orphan run dirs older than "
+                         "--vacuum-grace-hours (reference analog: retention "
+                         "cleanup, app/storage_cleanup.py)")
+    ap.add_argument("--vacuum-grace-hours", type=float, default=6.0,
+                    help="orphan-dir age guard for --vacuum-keep (in-flight "
+                         "runs write data before committing; default 6h)")
     args = ap.parse_args(argv)
     if (args.input is None) == (args.n_docs is None):
         ap.error("exactly one of --input / --n-docs is required")
@@ -205,6 +213,11 @@ def main(argv=None) -> int:
                     "doc_id", F.col("source.original_name").alias("original_name"))
             report["markdown_uploaded"] = upload_markdown(
                 written, args.markdown_store, names_df=names)
+    if args.vacuum_keep is not None:
+        from docling_service_spark.sparkio.checkpoint import vacuum
+
+        report["vacuum"] = vacuum(args.output, keep_manifests=args.vacuum_keep,
+                                  min_age_hours=args.vacuum_grace_hours)
     print(json.dumps(report))
     spark.stop()
     return 0
