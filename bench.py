@@ -111,14 +111,19 @@ def main() -> None:
     # Python-stage wall (classify-stage dominance evidence): sum of per-batch
     # extractor wall time vs end-to-end wall — BOTH measured on this same
     # lineage pass (mixing this numerator with the min-of-3 headline wall
-    # would systematically inflate the share under host variance).
-    t0 = time.perf_counter()
+    # would systematically inflate the share under host variance).  The
+    # denominator times ONLY the lineage-producing extraction action: the
+    # lineage frame is persisted so the groupBy().sum() stats job reads the
+    # ~P cached rows, not a second extraction, and is excluded from the wall.
     lineage = derive_lineage(
         run_extraction(corpus_df(spark, N_DOCS, partitions=CPUS * 4)),
         run_id="bench", snapshot_id=0,
-    )
-    stats = lineage.groupBy().sum("wall_ms", "doc_count").collect()[0]
+    ).persist()
+    t0 = time.perf_counter()
+    materialize(lineage)
     lineage_wall = time.perf_counter() - t0
+    stats = lineage.groupBy().sum("wall_ms", "doc_count").collect()[0]
+    lineage.unpersist()
     classify_ms, n_docs_seen = int(stats[0]), int(stats[1])
 
     # Training-set funnel over the extracted output (body strip → quality
@@ -145,7 +150,11 @@ def main() -> None:
         "classify_stage_cpu_ms": classify_ms,
         "classify_share_of_cpu_budget": round(classify_ms / (lineage_wall * CPUS * 1000), 3),
         "protocol": {"headline_runs": HEADLINE_RUNS, "query_runs": QUERY_RUNS,
-                     "report": "min"},
+                     "report": "min",
+                     # The share is a SINGLE sample (the headline is min-of-3)
+                     # — treat its variance accordingly; numerator and
+                     # denominator come from the same run by design.
+                     "classify_share_runs": 1},
         "samples": samples,
     }))
     spark.stop()

@@ -158,6 +158,16 @@ def _assign(emb, centroids: list[list[float]]):
 
 
 _CENTROID_CACHE: dict[tuple, list] = {}
+# Each entry is k·DIM doubles; a sweep over many tables (distinct sf_dir
+# keys) would otherwise grow driver memory without bound — FIFO-evict past
+# this cap (re-training on a re-visit is the cheap side of that trade).
+_CENTROID_CACHE_MAX = 8
+
+
+def _cache_put(key: tuple, centroids: list) -> None:
+    if key not in _CENTROID_CACHE and len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+        _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+    _CENTROID_CACHE[key] = centroids
 
 _SAMPLE_MOD = 1_000_000_000  # ppb granularity: exact down to n ~ target * 1e9
 
@@ -220,7 +230,7 @@ def train_ivf(spark, sf_dir, *, k: int | None = IVF_K,
             centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]  # empty cluster keeps its centroid
     finally:
         train.unpersist()
-    _CENTROID_CACHE[key] = centroids
+    _cache_put(key, centroids)
     return centroids
 
 

@@ -301,10 +301,13 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     each round materializes to parquet under that directory instead of
     ``localCheckpoint`` — losing an executor then costs a task retry, not
     the job, which is the fault-tolerance a 1000-executor cluster needs.
-    Cost: one distributed-FS write per round (≤ max_rounds small files; the
-    caller owns cleanup of the directory afterwards).  Default (None) stays
-    executor-block-backed: cheapest, correct in local mode and on clusters
-    that accept job-restart-on-executor-loss.
+    Disk stays BOUNDED: once round N's spill is written, round N-1's is
+    deleted (only the latest step backs the returned labels; the edge pin,
+    step-001, is read every round and survives) — at most the edge pin +
+    two steps exist transiently.  The caller still owns deleting the
+    directory (edge pin + final step) after consuming the labels.  Default
+    (None) stays executor-block-backed: cheapest, correct in local mode and
+    on clusters that accept job-restart-on-executor-loss.
     """
     _step = [0]
 
@@ -314,7 +317,17 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
         _step[0] += 1
         path = f"{checkpoint_dir}/step-{_step[0]:03d}"
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        # Prune the superseded round: step N's write fully consumed step
+        # N-1's files, and ``labels`` is rebound to the new read below —
+        # nothing re-executes the old lineage.  Never prunes step-001 (the
+        # edge pin backs every round's joins).
+        prev = _step[0] - 1
+        if prev >= 2:
+            import shutil
+
+            shutil.rmtree(f"{checkpoint_dir}/step-{prev:03d}", ignore_errors=True)
+        return out
 
     edges = _materialize(
         pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer"))

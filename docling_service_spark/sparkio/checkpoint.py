@@ -672,6 +672,7 @@ def run_merge_upsert(
     run_id: Optional[str] = None,
     on_complete=None,
     max_doc_bytes: Optional[int] = None,
+    keep_prepared: bool = False,
 ) -> dict:
     """Doc-level MERGE (upsert for PARTIAL inputs): input docs are inserted
     or updated; docs absent from the input are untouched.
@@ -703,11 +704,27 @@ def run_merge_upsert(
     snapshot — carried rows were read from it, so committing onto any other
     parent would silently drop a concurrent writer's docs from shared
     buckets.  A lost race raises ``SnapshotConflictError``; re-run the
-    merge (the replayed diff skips whatever already landed)."""
+    merge (the replayed diff skips whatever already landed).
+
+    ``keep_prepared=True`` attaches the deduped prepared frame (STILL
+    persisted) to the summary as ``prepared_deduped`` so downstream
+    consumers (job.py's merge-mode markdown upload, which needs the kept
+    version's ``source.original_name``) reuse the cached frame instead of
+    re-running prepare_input + the dedup window shuffle over the full input.
+    The caller owns ``unpersist()``."""
     store = SnapshotStore(root)
     store.check_n_buckets(n_buckets)
     run_id = run_id or uuid.uuid4().hex[:12]
     prepared = dedup_latest_version(prepare_input(input_df, n_buckets)).persist()
+    handed_off = False
+
+    def _finish(summary: dict) -> dict:
+        nonlocal handed_off
+        if keep_prepared:
+            summary["prepared_deduped"] = prepared
+            handed_off = True
+        return summary
+
     try:
         parent_manifest = store.current_manifest()
         expected_parent = parent_manifest["snapshot_id"] if parent_manifest else None
@@ -727,9 +744,15 @@ def run_merge_upsert(
                         | (F.col("_old_hash") != F.col("_input_hash")))
                 .drop("_old_hash")
             )
+            changed = changed.persist()
+            own_changed = True
         else:
+            # No committed buckets touched: every input doc is new, so
+            # ``changed`` IS the (already persisted) prepared frame — a
+            # second persist/unpersist pair on the same plan would evict
+            # prepared's cache entry out from under keep_prepared callers.
             changed = prepared
-        changed = changed.persist()
+            own_changed = False
         try:
             dirty_buckets = sorted(r["_bucket"] for r in
                                    changed.select("_bucket").distinct().collect())
@@ -737,7 +760,7 @@ def run_merge_upsert(
                 summary = {"run_id": run_id, "snapshot_id": None, "buckets": [],
                            "docs": 0, "docs_changed": 0}
                 notify_completion(on_complete, {**summary, "status": "noop", "detail": None})
-                return summary
+                return _finish(summary)
             n_changed = changed.count()
             dirty_committed = [b for b in dirty_buckets if str(b) in committed]
             carry = None
@@ -746,14 +769,18 @@ def run_merge_upsert(
                     old.filter(F.col("_bucket").isin(dirty_committed))
                     .join(changed.select("doc_id"), "doc_id", "left_anti")
                 )
-            return _run_with_hook(
+            return _finish(_run_with_hook(
                 spark, store, changed, root, dirty_buckets, run_id, on_complete,
                 num_partitions=num_partitions, allow_overwrite=True,
                 n_buckets=n_buckets, max_doc_bytes=max_doc_bytes, carry_rows=carry,
                 expected_parent=expected_parent,
                 extra_summary={"docs_changed": n_changed},
-            )
+            ))
         finally:
-            changed.unpersist()
+            if own_changed:
+                changed.unpersist()
     finally:
-        prepared.unpersist()
+        # On exception paths the frame is never handed off — unpersist even
+        # when keep_prepared was requested (no handle would reach the caller).
+        if not handed_off:
+            prepared.unpersist()

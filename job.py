@@ -113,6 +113,10 @@ def main(argv=None) -> int:
             run_id=args.run_id,
             on_complete=on_complete,
             max_doc_bytes=args.max_doc_bytes,
+            # The markdown upload needs the kept version's doc set + original
+            # names — reuse the merge's own persisted deduped frame instead
+            # of re-running prepare_input + the dedup window over the input.
+            keep_prepared=bool(args.markdown_store),
         )
     elif args.upsert:
         summary = run_upsert(
@@ -134,6 +138,9 @@ def main(argv=None) -> int:
             max_doc_bytes=args.max_doc_bytes,
         )
     wall = time.perf_counter() - t0
+    # Popped so the report stays JSON-serializable; still persisted when set
+    # (run_merge_upsert's keep_prepared contract) — unpersisted after upload.
+    merge_prepared = summary.pop("prepared_deduped", None)
 
     store = SnapshotStore(args.output)
     lineage = store.read_lineage(spark)
@@ -187,32 +194,27 @@ def main(argv=None) -> int:
                 # {doc_id}.md key beside their original upload — violating
                 # same-key-same-bytes idempotency.  Restrict the upload to
                 # this batch's docs; carried blobs are already in the store.
+                # ``merge_prepared`` is the merge's own persisted deduped
+                # frame (one row per doc_id — the kept version).
                 written = written.join(
-                    inp.select("doc_id").dropDuplicates(["doc_id"]),
-                    "doc_id", "left_semi")
+                    merge_prepared.select("doc_id"), "doc_id", "left_semi")
             # Reference naming needs the source's original filename when the
             # corpus carries one (app/main.py:860-864); without the column,
             # blobs fall back to {doc_id}.md.
             names = None
             if "source" in inp.columns:
-                names_src = inp
-                if args.merge_upsert:
-                    # A merge batch may carry the same doc_id twice; the
-                    # merge keeps the max-_input_hash version's CONTENT, so
-                    # the uploaded filename must come from that SAME version
-                    # — resolved through the ONE shared rule
-                    # (dedup_latest_version), never an inline copy.
-                    from docling_service_spark.sparkio.checkpoint import (
-                        dedup_latest_version,
-                        prepare_input,
-                    )
-
-                    names_src = dedup_latest_version(
-                        prepare_input(inp, args.n_buckets))
+                # Merge mode: the merge keeps the max-_input_hash version's
+                # CONTENT, so the uploaded filename must come from that SAME
+                # version — already resolved through the ONE shared rule
+                # (dedup_latest_version) inside run_merge_upsert; the cached
+                # frame is reused here instead of re-shuffling the input.
+                names_src = merge_prepared if args.merge_upsert else inp
                 names = names_src.select(
                     "doc_id", F.col("source.original_name").alias("original_name"))
             report["markdown_uploaded"] = upload_markdown(
                 written, args.markdown_store, names_df=names)
+    if merge_prepared is not None:
+        merge_prepared.unpersist()
     if args.vacuum_keep is not None:
         from docling_service_spark.sparkio.checkpoint import vacuum
 

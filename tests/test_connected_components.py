@@ -64,9 +64,11 @@ def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path):
     assert got_a == got_b
     import os
 
-    steps = [d for d in os.listdir(rel_dir) if d.startswith("step-")]
-    # one spill for the edge pin + one per round
-    assert len(steps) == rounds_b + 1, steps
+    steps = sorted(d for d in os.listdir(rel_dir) if d.startswith("step-"))
+    # Superseded rounds are pruned as soon as the next round's spill lands
+    # (r4 advice): only the edge pin + the final round's step survive.
+    assert rounds_b >= 2, "graph too shallow to exercise pruning"
+    assert steps == ["step-001", f"step-{rounds_b + 1:03d}"], steps
     # the returned labels remain usable after the source DataFrames are gone
     # (they scan the spill, not executor blocks)
     plan = rel._jdf.queryExecution().optimizedPlan().toString()

@@ -95,3 +95,27 @@ def test_train_ivf_auto_k(spark):
     cents = train_ivf(spark, "/root/testdata/sf0.01", k=None)
     assert len(cents) == ivf_k_for(500) == 2
     assert len(cents[0]) == 64
+
+
+def test_centroid_cache_bounded_fifo():
+    """_CENTROID_CACHE is capped (r4 verdict note: a sweep over many tables
+    would otherwise grow driver memory without bound) — FIFO eviction keeps
+    the newest entries and re-inserting an existing key never evicts."""
+    from docling_service_spark.queries import ann
+
+    saved = dict(ann._CENTROID_CACHE)
+    ann._CENTROID_CACHE.clear()
+    try:
+        for i in range(ann._CENTROID_CACHE_MAX * 3):
+            ann._cache_put((f"table-{i}", 16, 5), [[float(i)] * 4])
+        assert len(ann._CENTROID_CACHE) == ann._CENTROID_CACHE_MAX
+        newest = (f"table-{ann._CENTROID_CACHE_MAX * 3 - 1}", 16, 5)
+        assert newest in ann._CENTROID_CACHE
+        assert ("table-0", 16, 5) not in ann._CENTROID_CACHE
+        # overwrite of a resident key is not an eviction
+        before = set(ann._CENTROID_CACHE)
+        ann._cache_put(newest, [[0.0] * 4])
+        assert set(ann._CENTROID_CACHE) == before
+    finally:
+        ann._CENTROID_CACHE.clear()
+        ann._CENTROID_CACHE.update(saved)

@@ -111,6 +111,39 @@ def test_merge_dedups_doc_ids_within_batch(spark, tmp_path):
     assert out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
 
 
+def test_merge_keep_prepared_hands_off_cached_dedup_frame(spark, tmp_path):
+    """keep_prepared=True (r4 advice: job.py's markdown upload re-ran
+    prepare_input + the dedup window over the input just to pick names):
+    the summary carries the merge's OWN persisted deduped frame — one row
+    per doc_id, the max-_input_hash version — on both the commit and the
+    no-op return path; the caller unpersists."""
+    root = str(tmp_path / "table")
+    v = _fresh_doc(1)
+    v2 = _mutate(v)
+    batch = spark.createDataFrame([v, v2, _fresh_doc(2)], INPUT_SCHEMA)
+    r = run_merge_upsert(spark, batch, root, n_buckets=N_BUCKETS, run_id="m",
+                         keep_prepared=True)
+    prepared = r.pop("prepared_deduped")
+    assert prepared.storageLevel.useMemory or prepared.storageLevel.useDisk
+    rows = {row["doc_id"]: row for row in prepared.collect()}
+    assert set(rows) == {"new-0001", "new-0002"}  # versions collapsed
+    # The kept version matches what the merge committed (same dedup rule).
+    committed = {row["doc_id"]: row["spans"]
+                 for row in SnapshotStore(root).read_output(spark).collect()}
+    assert [s["text"] for s in rows["new-0001"]["spans"]] \
+        == [s["text"] for s in committed["new-0001"]]
+    prepared.unpersist()
+
+    # Replay → no-op: the frame is still handed off (job.py's upload gate
+    # decides whether to use it), and without keep_prepared nothing leaks.
+    r2 = run_merge_upsert(spark, batch, root, n_buckets=N_BUCKETS, run_id="m2",
+                          keep_prepared=True)
+    assert r2["snapshot_id"] is None
+    r2["prepared_deduped"].unpersist()
+    r3 = run_merge_upsert(spark, batch, root, n_buckets=N_BUCKETS, run_id="m3")
+    assert "prepared_deduped" not in r3
+
+
 def test_merge_conflicts_on_concurrent_snapshot_advance(spark, tmp_path):
     """CAS commit: a merge planned against snapshot S must NOT commit onto
     S+1 — its carried rows were read from S, so overwriting would silently

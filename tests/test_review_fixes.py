@@ -133,3 +133,31 @@ def test_connected_components_rejects_dangling_endpoints(spark):
     pairs = spark.createDataFrame([(1, 99)], "id_a bigint, id_b bigint")
     with pytest.raises(ValueError, match="missing from vertices"):
         connected_components(verts, pairs)
+
+
+def test_oracle_q60_zip_import_guard(monkeypatch):
+    """When the package is imported from engine.zip (--py-files), the q60
+    golden path points inside the zip and DuckDB cannot read it; the oracle
+    must fail with a CLEAR message instead of an opaque no-files-found
+    (r4 advice).  Simulated by reloading the module with the golden hidden."""
+    import importlib
+
+    from docling_service_spark.queries import extraction
+
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        os.path, "exists",
+        lambda p: False if str(p).endswith("q60_expected.parquet") else real_exists(p),
+    )
+    try:
+        mod = importlib.reload(extraction)
+        assert "error(" in mod.ORACLE_Q60
+        assert "extracted checkout" in mod.ORACLE_Q60
+        import duckdb
+
+        with pytest.raises(Exception, match="extracted checkout"):
+            duckdb.sql(mod.ORACLE_Q60).fetchall()
+    finally:
+        monkeypatch.undo()
+        importlib.reload(extraction)
+    assert "read_parquet" in extraction.ORACLE_Q60
