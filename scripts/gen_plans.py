@@ -43,15 +43,19 @@ PLAN_NOTES = [
      "column before the shingle transform (21x: inlined split+filter was "
      "re-evaluated per element).  The per-doc sizes joins carry NO broadcast "
      "hint (round-3 fix): sizes is corpus-cardinality, so the join strategy "
-     "is size-driven — AQE broadcasts at small scale (as seen in this plan), "
-     "shuffle-join keyed on id_a/id_b beyond the threshold."),
+     "is size-driven.  This plan is the EXECUTED AQE plan (isFinalPlan=true, "
+     "query run before explain): at sf0.1 AQE converted BOTH de-hinted sizes "
+     "joins to BroadcastHashJoin on id_a/id_b at runtime — removing the "
+     "hints cost nothing locally, while past the broadcast threshold the "
+     "same joins become shuffle joins on uniform doc-id keys (scale-safe)."),
     ("q33_lsh_candidate_pairs",
      "MinHash band join over the FULL table: one base hash per shingle + K "
      "universal-hash min-aggregates (single shuffle), explode to (band, key), "
      "self-join on the band key — candidate generation touches only bucket "
-     "collisions, never the full pair space.  At sf0.1 one side broadcasts; "
-     "past the broadcast threshold AQE picks SMJ and the two identical "
-     "signature subplans collapse under the ReuseExchange rule."),
+     "collisions, never the full pair space.  This is the EXECUTED AQE plan: "
+     "at sf0.1 one side broadcasts at runtime; past the broadcast threshold "
+     "AQE picks SMJ and the two identical signature subplans collapse under "
+     "the ReuseExchange rule."),
     ("q45_ivf_ann_topk",
      "IVF ANN search (frozen quantizer): probe routing is a Spark expression "
      "— distances to the k centroid LITERALS sort as (dist, idx) structs and "
@@ -112,8 +116,16 @@ HEADER = """# PLANS — physical plans of headline queries (sf0.1, local[8])
 
 Generated by `scripts/gen_plans.py` (`.explain(mode='formatted')`); notes call
 out the plan properties that matter at 100 TB (pushdown, pruning, broadcast,
-shuffle count, Python-stage feed).
+shuffle count, Python-stage feed).  Queries in EXECUTE_FIRST are RUN before
+explaining, so their plan is the final AQE plan (isFinalPlan=true) showing the
+runtime-chosen join strategies for the de-hinted corpus-cardinality joins.
 """
+
+# AQE-sensitive plans: the static explain shows isFinalPlan=false with the
+# default SMJ; executing first captures the runtime strategy decisions
+# (round-3 verdict #2's last clause — evidence the removed broadcast hints
+# cost nothing at local scale).  Both queries return bounded pair lists.
+EXECUTE_FIRST = {"q31_ngram_jaccard_pairs", "q33_lsh_candidate_pairs"}
 
 
 def main() -> None:
@@ -126,6 +138,8 @@ def main() -> None:
     out = [HEADER]
     for name, note in PLAN_NOTES:
         df = QUERIES[name](spark, SF_DIR)
+        if name in EXECUTE_FIRST:
+            df.collect()
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain(mode="formatted")
