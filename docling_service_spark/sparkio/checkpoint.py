@@ -366,6 +366,86 @@ def vacuum(root: str, *, keep_manifests: int = 10, min_age_hours: float = 6.0) -
     return {"removed_run_dirs": removed_runs, "removed_manifests": removed_manifests}
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_live_runs: int = 1,
+    run_id: Optional[str] = None,
+    on_complete=None,
+) -> dict:
+    """Rewrite live fragmentation: when the current snapshot's buckets
+    scatter across more than ``max_live_runs`` run dirs, materialize every
+    live row into ONE new run dir and commit a manifest remapping all
+    buckets to it (Iceberg's ``rewrite_data_files`` shape; reference analog:
+    the retention/eviction maintenance family, app/storage_cleanup.py:12-53).
+
+    Why it matters: upserts/merges are bucket-level copy-on-write — each run
+    adds a ``data/run={id}`` dir and a long-lived table's read file-list
+    grows with run count (vacuum removes only *orphaned* dirs).  Compaction
+    is pure data movement: row CONTENT is untouched (instrumentation columns
+    included), so bucket summaries carry forward from the parent manifest
+    verbatim and ``read_output``/``read_docs`` results are byte-identical.
+
+    Concurrency: the commit is compare-and-swap on the snapshot the rows
+    were read from (run_merge_upsert's planned-parent discipline) — a
+    writer landing first makes this compaction raise
+    ``SnapshotConflictError`` and its files become vacuum-eligible orphans;
+    a writer landing AFTER re-reads the post-compact manifest at its own
+    commit, so it remaps only its dirty buckets and the compacted mapping
+    survives for the rest.  Superseded run dirs are NOT deleted here — they
+    stay referenced by retained (rollback-usable) manifests until
+    ``vacuum`` expires those.
+
+    Returns ``{"run_id", "snapshot_id", "buckets", "docs", "runs_before",
+    "runs_after"}``; ``snapshot_id`` None = no-op (fragmentation within
+    budget or empty table)."""
+    store = SnapshotStore(root)
+    m = store.current_manifest()
+    live_runs = sorted(set((m or {}).get("buckets", {}).values()))
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if m is None or len(live_runs) <= max_live_runs:
+        summary = {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0,
+                   "runs_before": len(live_runs), "runs_after": len(live_runs)}
+        notify_completion(on_complete, {**summary, "status": "noop", "detail": None})
+        return summary
+    expected_parent = m["snapshot_id"]
+    buckets = sorted(int(b) for b in m["buckets"])
+    try:
+        out = store.read_output(spark, instrumented=True)
+        data_dir = os.path.join(root, "data", f"run={run_id}")
+        out.write.parquet(data_dir, mode="overwrite")
+        # Summaries: content is unchanged, so the parent's sums are exact —
+        # carried forward without a scan.  Buckets missing one (pre-s2
+        # manifests) are recomputed from the rewritten files in one pruned
+        # aggregate, upgrading the table's metadata as a side effect.
+        sums = dict(m.get("bucket_sums") or {})
+        missing = [b for b in m["buckets"]
+                   if len(sums.get(b) or []) != len(_EMPTY_SUM)]
+        if missing:
+            written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
+            fresh = _bucket_summaries(
+                written.filter(F.col("_bucket").isin([int(b) for b in missing]))
+                .select("_bucket", "_input_hash"))
+            for b in missing:
+                sums[b] = fresh.get(b, list(_EMPTY_SUM))
+        snapshot_id = store.commit(buckets, run_id, allow_overwrite=True,
+                                   n_buckets=m["n_buckets"], bucket_sums=sums,
+                                   expected_parent_snapshot_id=expected_parent)
+    except Exception as exc:
+        notify_completion(on_complete, {
+            "run_id": run_id, "snapshot_id": None, "buckets": buckets, "docs": 0,
+            "runs_before": len(live_runs), "runs_after": len(live_runs),
+            "status": "failed", "detail": f"{type(exc).__name__}: {exc}",
+        })
+        raise
+    docs = sum(int(sums[str(b)][0]) for b in buckets)
+    summary = {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets,
+               "docs": docs, "runs_before": len(live_runs), "runs_after": 1}
+    notify_completion(on_complete, {**summary, "status": "completed", "detail": None})
+    return summary
+
+
 def run_incremental(
     spark: SparkSession,
     input_df: DataFrame,

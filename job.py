@@ -56,6 +56,14 @@ def main(argv=None) -> int:
                     help="upload this run's completed markdown blobs under "
                          "markdown/{doc_id}/{filename} at this store path "
                          "(reference app/main.py:855-868)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run, rewrite live buckets into one run dir "
+                         "when they scatter across more than --compact-max-runs "
+                         "dirs (long-lived merge/upsert tables fragment; "
+                         "Iceberg rewrite_data_files analog)")
+    ap.add_argument("--compact-max-runs", type=int, default=4,
+                    help="fragmentation budget for --compact: live run-dir "
+                         "count that triggers a rewrite (default 4)")
     ap.add_argument("--vacuum-keep", type=int, default=None, metavar="N",
                     help="after the run, vacuum the table: keep the last N "
                          "manifests, delete orphan run dirs older than "
@@ -215,7 +223,16 @@ def main(argv=None) -> int:
                 written, args.markdown_store, names_df=names)
     if merge_prepared is not None:
         merge_prepared.unpersist()
+    if args.compact:
+        from docling_service_spark.sparkio.checkpoint import compact
+
+        c = compact(spark, args.output, max_live_runs=args.compact_max_runs,
+                    on_complete=on_complete)
+        report["compact"] = {k: c[k] for k in
+                             ("snapshot_id", "runs_before", "runs_after")}
     if args.vacuum_keep is not None:
+        # After --compact the superseded dirs become vacuum-eligible once
+        # the retained manifests referencing them expire.
         from docling_service_spark.sparkio.checkpoint import vacuum
 
         report["vacuum"] = vacuum(args.output, keep_manifests=args.vacuum_keep,
