@@ -22,9 +22,11 @@ from __future__ import annotations
 import json
 from typing import Any, Optional
 
+from json.encoder import encode_basestring_ascii as _esc
+
 from ..hashing import media_key, xxh64_hexdigest
 from . import geometry as G
-from .fastjson import dumps_indent2
+from .fastjson import _float_repr
 from .html_extract import extract_html_blocks
 
 RAW_KINDS = frozenset(["html", "text_block", "table_block", "image", "page_dims", "page_break",
@@ -62,20 +64,26 @@ def _parse_html_page(media_ref: str) -> int:
     raise G.MediaRefError(f"html media_ref must be '' or 'page=N': {media_ref!r}")
 
 
-def _collect_blocks(spans: list[dict], pages: dict[int, tuple[float, float]]) -> list[_Block]:
+def _collect_blocks(kinds: list, texts: list, refs: list, offs: list,
+                    pages: dict[int, tuple[float, float]]) -> list[_Block]:
+    """Consumes the span sequence as PARALLEL COLUMNS (kind/text/media_ref/
+    offset lists), not per-span dicts — the Arrow kernel feeds the struct
+    children straight in (primitive ``to_pylist`` is C-fast; per-span dict
+    materialization went through the Mapping-protocol StructScalar path and
+    was the input side's dominant allocation, r4 verdict #1).  The dict-based
+    public surface (``extract_document``) splits into columns up front."""
     # Pass 1: page declarations.  Done first so a block's reading-order key
     # never depends on whether its page_dims span precedes it in input order.
-    for span in spans:
-        if span["kind"] == "page_dims":
-            page, w, h = G.parse_page_dims(span.get("media_ref") or "")
+    for j, kind in enumerate(kinds):
+        if kind == "page_dims":
+            page, w, h = G.parse_page_dims(refs[j] or "")
             pages[page] = (w, h)
 
     blocks: list[_Block] = []
-    for span in spans:
-        kind = span["kind"]
-        text = span.get("text") or ""
-        ref = span.get("media_ref") or ""
-        off = span.get("offset")
+    for j, kind in enumerate(kinds):
+        text = texts[j] or ""
+        ref = refs[j] or ""
+        off = offs[j]
         off = 0 if off is None else int(off)
         if kind == "page_dims":
             continue
@@ -174,9 +182,13 @@ def _apply_column_order(blocks: list[_Block], pages: dict[int, tuple[float, floa
     Full-width blocks partition the page into vertical segments; within a
     segment the left column reads top-to-bottom, then the right column.  A
     full-width block above columns (a spanning heading) precedes them; one
-    below (a closing paragraph) follows them.  Keys become
-    ``(page, segment, column_rank, y, x, offset, intra)`` — single-column
-    pages get ``segment=0, column_rank=0`` so ordering is unchanged.
+    below (a closing paragraph) follows them.  Two-column pages get keys
+    ``(page, segment, column_rank, y, x, offset, intra)``; single-column
+    pages keep their ORIGINAL ``(page, y, x, offset, intra)`` keys untouched
+    — ordering is already correct there, and tuples only ever compare
+    against same-page (hence same-shape) keys because ``page`` is the first
+    element, so the per-block re-keying allocation (r4 verdict #1:
+    allocation-bound kernel) is skipped for the common case.
     """
     from bisect import bisect_right
     from collections import defaultdict
@@ -187,18 +199,16 @@ def _apply_column_order(blocks: list[_Block], pages: dict[int, tuple[float, floa
 
     for page, blist in by_page.items():
         pw = pages.get(page, (None, None))[0]
-        cls = {id(b): G.column_class(b.box, pw) for b in blist}
-        has_l = any(c == "L" for c in cls.values())
-        has_r = any(c == "R" for c in cls.values())
-        if not (has_l and has_r):
-            for b in blist:
-                b.sort_key = (page, 0, 0) + b.sort_key[1:]
-            continue
-        f_blocks = sorted((b for b in blist if cls[id(b)] == "F"), key=lambda b: b.sort_key[1:])
+        if not pw or pw <= 0:
+            continue  # no declared width → every class is 'F' (no evidence)
+        cls = [G.column_class(b.box, pw) for b in blist]
+        if "L" not in cls or "R" not in cls:
+            continue  # single-column page: order untouched
+        f_blocks = sorted((b for b, c in zip(blist, cls) if c == "F"),
+                          key=lambda b: b.sort_key[1:])
         f_index = {id(b): i for i, b in enumerate(f_blocks)}
         f_ys = [b.sort_key[1] for b in f_blocks]
-        for b in blist:
-            c = cls[id(b)]
+        for b, c in zip(blist, cls):
             if c == "F":
                 # seg = count of full-width blocks strictly above → a
                 # spanning block closes the column segment above it.
@@ -241,9 +251,13 @@ def _render_block(kind: str, text: str, level: int, media_ref: str) -> str:
 META_BLOCK_PREFIX = "\n\n---\n\n<!-- DOCLING_METADATA_START -->"
 
 
-def _metadata_block(images: list[dict], tables: list[dict], pages_list: list[dict], doc_meta: dict) -> str:
-    """Fenced-JSON metadata block, structure per reference app/main.py:484-546."""
-    metadata_obj = {
+def _metadata_obj(images: list[dict], tables: list[dict], pages_list: list[dict],
+                  doc_meta: dict) -> dict:
+    """REFERENCE implementation of the metadata structure (app/main.py:484-546)
+    — kept as the differential-test oracle for the fused emitter below
+    (``dumps_indent2(_metadata_obj(...)) == _metadata_json(...)`` byte-for-
+    byte, tests/test_fastjson.py); the hot path never builds this dict."""
+    return {
         "images": [
             {
                 "id": img["id"],
@@ -285,9 +299,109 @@ def _metadata_block(images: list[dict], tables: list[dict], pages_list: list[dic
         ],
         "metadata": doc_meta,
     }
-    # Byte-identical to json.dumps(metadata_obj, indent=2) (reference
-    # app/main.py:535) via the C-escaper fast path — property-tested.
-    json_str = dumps_indent2(metadata_obj)
+
+
+def _scalar(v) -> str:
+    """One JSON leaf, matching dumps_indent2's value domain exactly."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    t = type(v)
+    if t is str:
+        return _esc(v)
+    if t is int:
+        return repr(v)
+    if t is float:
+        return _float_repr(v)
+    raise TypeError(f"Object of type {t.__name__} is not JSON serializable")
+
+
+def _pagedims_json(pd: Optional[dict], pad: str) -> str:
+    """``pad`` is the nested dict's KEY indent; the brace closes one level up."""
+    if pd is None:
+        return "null"
+    return (f'{{\n{pad}"width": {_scalar(pd["width"])},'
+            f'\n{pad}"height": {_scalar(pd["height"])}\n{pad[:-2]}}}')
+
+
+def _metadata_json(images: list[dict], tables: list[dict], pages_list: list[dict],
+                   doc_meta: dict) -> str:
+    """Schema-specialized emitter for the metadata block — byte-identical to
+    ``dumps_indent2(_metadata_obj(...))`` (differential-tested) without
+    building the intermediate dict tree or walking it recursively.  This is
+    the kernel's single hottest allocation site (r4 verdict #1: the extract
+    stage tracks the host's DRAM-streaming ceiling; fusing the build+encode
+    passes cuts the per-doc dict/list churn the generic path pays)."""
+    out = ['{\n  "images": [']
+    for i, g in enumerate(images):
+        out.append("\n    {" if i == 0 else ",\n    {")
+        out.append(
+            f'\n      "id": {_esc(g["id"])},'
+            f'\n      "page": {_scalar(g["page"])},'
+            '\n      "position": {'
+            f'\n        "x": {_scalar(g["x"])},'
+            f'\n        "y": {_scalar(g["y"])},'
+            f'\n        "width": {_scalar(g["width"])},'
+            f'\n        "height": {_scalar(g["height"])},'
+            f'\n        "coord_origin": {_esc(g["coord_origin"])},'
+            f'\n        "x_norm": {_scalar(g["x_norm"])},'
+            f'\n        "y_norm": {_scalar(g["y_norm"])},'
+            f'\n        "width_norm": {_scalar(g["width_norm"])},'
+            f'\n        "height_norm": {_scalar(g["height_norm"])}'
+            '\n      },'
+            f'\n      "page_dimensions": {_pagedims_json(g["_page_dimensions"], "        ")}'
+            "\n    }"
+        )
+    out.append("\n  ]," if images else "],")
+    out.append('\n  "tables": [')
+    for i, tb in enumerate(tables):
+        out.append("\n    {" if i == 0 else ",\n    {")
+        out.append(
+            f'\n      "id": {_esc(tb["id"])},'
+            f'\n      "page": {_scalar(tb["page"])},'
+            '\n      "position": {'
+            f'\n        "x": {_scalar(tb["x"])},'
+            f'\n        "y": {_scalar(tb["y"])},'
+            f'\n        "width": {_scalar(tb["width"])},'
+            f'\n        "height": {_scalar(tb["height"])}'
+            '\n      },'
+            f'\n      "page_dimensions": {_pagedims_json(tb["_page_dimensions"], "        ")},'
+            f'\n      "num_rows": {_scalar(tb["num_rows"])},'
+            f'\n      "num_cols": {_scalar(tb["num_cols"])}'
+            "\n    }"
+        )
+    out.append("\n  ]," if tables else "],")
+    out.append('\n  "pages": [')
+    for i, pd in enumerate(pages_list):
+        out.append("\n    {" if i == 0 else ",\n    {")
+        out.append(
+            f'\n      "page": {i + 1},'
+            f'\n      "width": {_scalar(pd["width"])},'
+            f'\n      "height": {_scalar(pd["height"])}'
+            "\n    }"
+        )
+    out.append("\n  ]," if pages_list else "],")
+    if doc_meta:
+        out.append('\n  "metadata": {')
+        first = True
+        for k, v in doc_meta.items():
+            out.append(f"\n    {_esc(k)}: " if first else f",\n    {_esc(k)}: ")
+            first = False
+            out.append(_scalar(v))
+        out.append("\n  }\n}")
+    else:
+        out.append('\n  "metadata": {}\n}')
+    return "".join(out)
+
+
+def _metadata_block(images: list[dict], tables: list[dict], pages_list: list[dict], doc_meta: dict) -> str:
+    """Fenced-JSON metadata block, structure per reference app/main.py:484-546.
+    Byte-identical to json.dumps(_metadata_obj(...), indent=2) (reference
+    app/main.py:535) via the fused schema emitter — property-tested."""
+    json_str = _metadata_json(images, tables, pages_list, doc_meta)
     return f"{META_BLOCK_PREFIX}\n```json\n{json_str}\n```\n<!-- DOCLING_METADATA_END -->\n"
 
 
@@ -307,9 +421,24 @@ def extract_document(doc_id: str, spans: Optional[list[dict]],
     """
     if spans is None:
         raise ValueError("document has no spans")
+    return extract_document_cols(
+        doc_id,
+        [s["kind"] for s in spans],
+        [s.get("text") for s in spans],
+        [s.get("media_ref") for s in spans],
+        [s.get("offset") for s in spans],
+        source,
+    )
 
+
+def extract_document_cols(doc_id: str, kinds: list, texts: list, refs: list,
+                          offs: list, source: Optional[dict] = None) -> dict:
+    """Columnar twin of ``extract_document``: the span sequence arrives as
+    parallel kind/text/media_ref/offset lists (the Arrow kernel's native
+    shape — struct children, no per-span dicts).  Same output, same failure
+    contract; ``extract_document`` is a thin splitter over this."""
     pages: dict[int, tuple[float, float]] = {}
-    blocks = _collect_blocks(spans, pages)
+    blocks = _collect_blocks(kinds, texts, refs, offs, pages)
     _apply_column_order(blocks, pages)
     blocks.sort(key=lambda b: b.sort_key)
 
@@ -320,7 +449,10 @@ def extract_document(doc_id: str, spans: Optional[list[dict]],
     table_counter = 0
     images_meta: list[dict] = []
     tables_meta: list[dict] = []
-    out_blocks: list[dict] = []  # page -> rendered spans, pre page-marker pass
+    # (page, kind, text, media_ref, level) tuples — NOT dicts: this list is
+    # rebuilt per doc and only consumed positionally below (allocation-bound
+    # kernel, r4 verdict #1).
+    out_blocks: list[tuple] = []
 
     for b in blocks:
         page = b.sort_key[0]
@@ -353,7 +485,7 @@ def extract_document(doc_id: str, spans: Optional[list[dict]],
                     ),
                 }
             )
-            out_blocks.append({"page": page, "kind": "image", "text": b.text, "media_ref": ref, "level": 0})
+            out_blocks.append((page, "image", b.text, ref, 0))
         elif b.kind == "table":
             table_counter += 1
             table_id = f"table-{table_counter}"
@@ -377,29 +509,25 @@ def extract_document(doc_id: str, spans: Optional[list[dict]],
                     ),
                 }
             )
-            out_blocks.append(
-                {"page": page, "kind": "table", "text": _render_table(cells), "media_ref": "", "level": 0}
-            )
+            out_blocks.append((page, "table", _render_table(cells), "", 0))
         else:
-            out_blocks.append(
-                {"page": page, "kind": b.kind, "text": b.text, "media_ref": "", "level": b.level}
-            )
+            out_blocks.append((page, b.kind, b.text, "", b.level))
 
     # --- Page-marker assembly (reference app/main.py:431-482 semantics) ---
     out_spans: list[dict] = []
     md_chunks: list[str] = []
     if not pages:
         # No declared pages → whole doc, no markers (reference :442-450).
-        for blk in out_blocks:
-            out_spans.append({"kind": blk["kind"], "text": blk["text"], "media_ref": blk["media_ref"]})
-        md_chunks.extend(_render_block(b["kind"], b["text"], b["level"], b["media_ref"]) for b in out_blocks)
+        for _pg, kind, text, ref, level in out_blocks:
+            out_spans.append({"kind": kind, "text": text, "media_ref": ref})
+        md_chunks.extend(_render_block(k, t, lv, r) for _p, k, t, r, lv in out_blocks)
         markdown_body = "\n\n".join(md_chunks)
     else:
         # Group once (O(blocks)); out_blocks is already in reading order, so
         # each page's list stays ordered.
-        blocks_by_page: dict[int, list[dict]] = {}
+        blocks_by_page: dict[int, list[tuple]] = {}
         for b in out_blocks:
-            blocks_by_page.setdefault(b["page"], []).append(b)
+            blocks_by_page.setdefault(b[0], []).append(b)
         page_order = sorted(set(pages) | set(blocks_by_page))
         nonempty = 0
         for page_no in page_order:
@@ -409,10 +537,10 @@ def extract_document(doc_id: str, spans: Optional[list[dict]],
             nonempty += 1
             marker = f"<!-- Page {page_no} -->"
             out_spans.append({"kind": "page_marker", "text": marker, "media_ref": ""})
-            for blk in page_blocks:
-                out_spans.append({"kind": blk["kind"], "text": blk["text"], "media_ref": blk["media_ref"]})
+            for _pg, kind, text, ref, _lv in page_blocks:
+                out_spans.append({"kind": kind, "text": text, "media_ref": ref})
             page_md = "\n\n".join(
-                _render_block(b["kind"], b["text"], b["level"], b["media_ref"]) for b in page_blocks
+                _render_block(k, t, lv, r) for _p, k, t, r, lv in page_blocks
             )
             md_chunks.append(f"{marker}\n\n{page_md}")
         if nonempty == 0:

