@@ -138,6 +138,25 @@ def main() -> None:
         q = QUERIES[name]
         best_of(name, lambda q=q: materialize(q(spark, SF_DIR)), QUERY_RUNS)
 
+    # Skewed-corpus section (r4 verdict next-round #4): a heavy-tailed corpus
+    # with 1% of docs 100x larger, CLUSTERED into the first input partition
+    # (oversize_first + spark.range's contiguous splits) — the pathological
+    # layout run_extraction's opt-in salted repartition exists for.  Timed
+    # both ways so the salting knob has a measured crossover, not folklore:
+    # salt when the straggler tail (max-partition doc-equivalents / per-core
+    # rate) exceeds the salted wall (total work spread over all cores PLUS
+    # the shuffle's nested-row codec toll, ~2x the extraction of the moved
+    # rows — CLAUDE.md gotcha).  With uniformly-sized or pre-spread inputs
+    # the direct path wins; see BENCH/BASELINE.md for the recorded numbers.
+    skew_n = max(300, N_DOCS // 4)
+    giants = max(4, skew_n // 100)
+    skew_df = corpus_df(spark, skew_n, partitions=CPUS,
+                        oversize_first=giants, oversize_factor=100)
+    best_of("skew_direct", lambda: materialize(run_extraction(skew_df)), QUERY_RUNS)
+    best_of("skew_salted",
+            lambda: materialize(run_extraction(skew_df, num_partitions=CPUS * 4)),
+            QUERY_RUNS)
+
     docs_per_sec = N_DOCS / extract_sec
     print(json.dumps({
         "metric": "extraction_docs_per_sec",
@@ -149,6 +168,9 @@ def main() -> None:
         "cpus": CPUS,
         "classify_stage_cpu_ms": classify_ms,
         "classify_share_of_cpu_budget": round(classify_ms / (lineage_wall * CPUS * 1000), 3),
+        "skew": {"n_docs": skew_n, "giants": giants, "giant_factor": 100,
+                 "layout": "giants clustered in partition 0 of "
+                           f"{CPUS}; salted = num_partitions={CPUS * 4}"},
         "protocol": {"headline_runs": HEADLINE_RUNS, "query_runs": QUERY_RUNS,
                      "report": "min",
                      # The share is a SINGLE sample (the headline is min-of-3)

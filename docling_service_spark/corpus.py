@@ -304,14 +304,24 @@ def source_meta(idx: int, doc_id: str) -> dict:
 
 def build_doc(idx: int, seed: int = 42, *,
               oversize_every: int = 97, oversize_factor: int = 40,
+              oversize_first: Optional[int] = None,
               malformed_every: Optional[int] = 211,
               include_source: bool = False) -> dict:
     """Build document ``idx`` deterministically.  Returns {doc_id, spans}
-    (plus ``source`` when ``include_source``)."""
+    (plus ``source`` when ``include_source``).
+
+    ``oversize_first=K`` overrides the spread-out oversize rule with a
+    CLUSTERED one (idx < K): because ``spark.range`` splits contiguously,
+    every giant lands in the first partition(s) — the pathological
+    heavy-tail layout the salted repartition exists for (bench.py skew
+    section; tests/test_skew.py)."""
     rng = random.Random(f"{seed}:{idx}")
     doc_id = f"doc-{seed}-{idx:08d}"
     family = idx % N_FAMILIES
-    oversized = oversize_every and idx > 0 and idx % oversize_every == 0
+    if oversize_first is not None:
+        oversized = idx < oversize_first
+    else:
+        oversized = oversize_every and idx > 0 and idx % oversize_every == 0
     scale = oversize_factor if oversized else 1
 
     if malformed_every and idx > 0 and idx % malformed_every == 0:
@@ -359,7 +369,9 @@ def make_corpus(n_docs: int, seed: int = 42, **kwargs) -> list[dict]:
 
 
 def corpus_df(spark, n_docs: int, seed: int = 42, partitions: Optional[int] = None,
-              include_malformed: bool = True, include_source: bool = False):
+              include_malformed: bool = True, include_source: bool = False,
+              oversize_first: Optional[int] = None,
+              oversize_factor: int = 40):
     """Distributed corpus: generated inside executors via mapInArrow.
 
     ``spark.range`` scales to any n_docs without driver materialization —
@@ -381,7 +393,9 @@ def corpus_df(spark, n_docs: int, seed: int = 42, partitions: Optional[int] = No
         for batch in batches:
             ids = batch.column("id").to_pylist()
             docs = [build_doc(i, seed, malformed_every=malformed_every,
-                              include_source=include_source) for i in ids]
+                              include_source=include_source,
+                              oversize_first=oversize_first,
+                              oversize_factor=oversize_factor) for i in ids]
             yield pa.RecordBatch.from_pylist(docs, schema=pa.schema(fields))
 
     rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)

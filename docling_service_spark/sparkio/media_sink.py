@@ -185,6 +185,36 @@ def upload_markdown(output_df: DataFrame, base_path: Optional[str] = None,
         work.unpersist()
 
 
+def upload_merge_run_markdown(spark, table_root: str, run_id: str,
+                              prepared: DataFrame, store_path) -> int:
+    """Upload ONE merge run's markdown blobs — THE merge-mode upload rule,
+    shared by ``job.py --merge-upsert --markdown-store`` and the streaming
+    twin (``stream_merge_upsert(markdown_store=)``) so batch and stream
+    cannot drift:
+
+    - restricted to the batch's own docs (``prepared`` is the merge's
+      deduped frame): a merge run dir also carries same-bucket sibling docs
+      absent from the batch, and uploading those would mint a new
+      ``{doc_id}.md`` key beside their original upload;
+    - names come from the SAME kept version that won the content pick
+      (``dedup_latest_version`` ran inside ``run_merge_upsert``), so
+      filename and content can never desynchronize."""
+    import os
+
+    from .batch import INSTRUMENTED_DDL
+    from .pipeline import strip_instrumentation
+
+    run_dir = os.path.join(table_root, "data", f"run={run_id}")
+    written = strip_instrumentation(
+        spark.read.schema(INSTRUMENTED_DDL).parquet(run_dir)
+    ).join(prepared.select("doc_id"), "doc_id", "left_semi")
+    names = None
+    if "source" in prepared.columns:
+        names = prepared.select(
+            "doc_id", F.col("source.original_name").alias("original_name"))
+    return upload_markdown(written, store_path, names_df=names)
+
+
 def markdown_urls(output_df: DataFrame, store,
                   names_df: Optional[DataFrame] = None) -> DataFrame:
     """(doc_id, markdown_url) — the reference's derived public URL

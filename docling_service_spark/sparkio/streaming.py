@@ -24,6 +24,9 @@ from .batch import INSTRUMENTED_DDL
 from .pipeline import derive_lineage, run_extraction
 
 INPUT_DDL = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+INPUT_DDL_WITH_SOURCE = (
+    INPUT_DDL + ", source struct<kind:string,value:string,original_name:string>"
+)
 
 
 def stream_extraction(
@@ -75,6 +78,8 @@ def stream_merge_upsert(
     n_buckets: int = 64,
     max_files_per_trigger: Optional[int] = None,
     await_termination: bool = True,
+    markdown_store: Optional[str] = None,
+    input_ddl: Optional[str] = None,
 ):
     """Continuous ingestion INTO the snapshot table: every micro-batch
     doc-level-MERGEs into the committed snapshot (new docs insert, changed
@@ -87,17 +92,37 @@ def stream_merge_upsert(
     feed exactly one batch id, and a REPLAYED batch (crash between sink and
     checkpoint advance) re-merges the same docs → the doc-level diff finds
     zero changes and no-ops.  Batch ids stamp the run ids, so every commit
-    is traceable to its micro-batch."""
-    from .checkpoint import run_merge_upsert
+    is traceable to its micro-batch.
 
-    reader = spark.readStream.schema(INPUT_DDL)
+    ``markdown_store`` uploads each committed micro-batch's markdown blobs
+    through the SAME merge-mode rule as ``job.py --markdown-store``
+    (``upload_merge_run_markdown``: batch docs only, kept-version names) —
+    pass ``input_ddl=INPUT_DDL_WITH_SOURCE`` when the landing files carry
+    source metadata so reference filenames resolve (else ``{doc_id}.md``).
+    Replay-safe: markdown puts are doc-addressed last-writer-wins and a
+    replayed batch no-ops before reaching the upload."""
+    from .checkpoint import run_merge_upsert
+    from .media_sink import upload_merge_run_markdown
+
+    reader = spark.readStream.schema(input_ddl or INPUT_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)
 
     def sink(batch_df, batch_id: int) -> None:
-        run_merge_upsert(batch_df.sparkSession, batch_df, table_root,
-                         n_buckets=n_buckets, run_id=f"stream-{batch_id}")
+        s = batch_df.sparkSession
+        summary = run_merge_upsert(s, batch_df, table_root,
+                                   n_buckets=n_buckets, run_id=f"stream-{batch_id}",
+                                   keep_prepared=markdown_store is not None)
+        prepared = summary.pop("prepared_deduped", None)
+        try:
+            if (markdown_store and summary["snapshot_id"] is not None
+                    and summary["buckets"]):
+                upload_merge_run_markdown(s, table_root, summary["run_id"],
+                                          prepared, markdown_store)
+        finally:
+            if prepared is not None:
+                prepared.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(sink)

@@ -186,41 +186,36 @@ def main(argv=None) -> int:
             import os
 
             from docling_service_spark.sparkio.batch import INSTRUMENTED_DDL
-            from docling_service_spark.sparkio.media_sink import upload_markdown
+            from docling_service_spark.sparkio.media_sink import (
+                upload_markdown,
+                upload_merge_run_markdown,
+            )
             from docling_service_spark.sparkio.pipeline import strip_instrumentation
 
             from pyspark.sql import functions as F
 
-            run_dir = os.path.join(args.output, "data", f"run={summary['run_id']}")
-            written = strip_instrumentation(
-                spark.read.schema(INSTRUMENTED_DDL).parquet(run_dir)
-            )
             if args.merge_upsert:
-                # A merge run dir also contains CARRIED sibling docs (same
-                # dirty bucket, absent from this batch's input).  Their names
-                # are not in ``inp``, so uploading them would mint a NEW
-                # {doc_id}.md key beside their original upload — violating
-                # same-key-same-bytes idempotency.  Restrict the upload to
-                # this batch's docs; carried blobs are already in the store.
-                # ``merge_prepared`` is the merge's own persisted deduped
-                # frame (one row per doc_id — the kept version).
-                written = written.join(
-                    merge_prepared.select("doc_id"), "doc_id", "left_semi")
-            # Reference naming needs the source's original filename when the
-            # corpus carries one (app/main.py:860-864); without the column,
-            # blobs fall back to {doc_id}.md.
-            names = None
-            if "source" in inp.columns:
-                # Merge mode: the merge keeps the max-_input_hash version's
-                # CONTENT, so the uploaded filename must come from that SAME
-                # version — already resolved through the ONE shared rule
-                # (dedup_latest_version) inside run_merge_upsert; the cached
-                # frame is reused here instead of re-shuffling the input.
-                names_src = merge_prepared if args.merge_upsert else inp
-                names = names_src.select(
-                    "doc_id", F.col("source.original_name").alias("original_name"))
-            report["markdown_uploaded"] = upload_markdown(
-                written, args.markdown_store, names_df=names)
+                # Merge mode routes through the ONE shared upload rule
+                # (batch-docs-only + kept-version names; see
+                # upload_merge_run_markdown) over the merge's own persisted
+                # deduped frame — no re-shuffle of the input.
+                report["markdown_uploaded"] = upload_merge_run_markdown(
+                    spark, args.output, summary["run_id"], merge_prepared,
+                    args.markdown_store)
+            else:
+                run_dir = os.path.join(args.output, "data", f"run={summary['run_id']}")
+                written = strip_instrumentation(
+                    spark.read.schema(INSTRUMENTED_DDL).parquet(run_dir)
+                )
+                # Reference naming needs the source's original filename when
+                # the corpus carries one (app/main.py:860-864); without the
+                # column, blobs fall back to {doc_id}.md.
+                names = None
+                if "source" in inp.columns:
+                    names = inp.select(
+                        "doc_id", F.col("source.original_name").alias("original_name"))
+                report["markdown_uploaded"] = upload_markdown(
+                    written, args.markdown_store, names_df=names)
     if merge_prepared is not None:
         merge_prepared.unpersist()
     if args.compact:

@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""sf1 scale probe (r4 verdict next-round #5).
+
+The int32 ``length*10000`` overflow was only caught by running at sf0.1
+(SURVEY §10.6) — each 10x scale step exposes the next overflow/codegen/
+driver-memory class BEFORE a cluster run does.  This probe synthesizes a
+10x-sf0.1 table set at /tmp/sf1 (driver tables stay untouched — the driver's
+oracle corpus is never replaced, this is a stress input only) and runs the
+five most expensive queries once each, reporting wall + row count or the
+failure.
+
+Scaling recipe (deterministic):
+- documents: 10 copies, ``doc_id += k*N``; word-rotation by a per-copy prime
+  offset decorrelates the 3-gram shingle sets (a verbatim copy would make
+  every doc a near-dup of its 9 clones — unrepresentative pair explosion),
+  while preserving vocabulary, length and token statistics.
+- embeddings: 10 copies, ``vec_id += k*M``; vector rotated by k dims
+  (norm-preserving, decorrelates cosine).
+
+Usage: python3 scripts/sf1_probe.py [--queries q31,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1"
+COPIES = 10
+PROBE_QUERIES = ["q31_ngram_jaccard_pairs", "q33_lsh_candidate_pairs",
+                 "q43_embedding_near_dup_keepers", "q45_ivf_ann_topk",
+                 "q46_ivf_cluster_pairs"]
+
+
+def build_sf1() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pylist()
+    n = len(docs)
+    out_docs = []
+    for k in range(COPIES):
+        for d in docs:
+            d2 = dict(d)
+            d2["doc_id"] = d["doc_id"] + k * n
+            if k:
+                toks = (d["text"] or "").split()
+                if toks:
+                    r = (k * 29) % len(toks)
+                    d2["text"] = " ".join(toks[r:] + toks[:r])
+            out_docs.append(d2)
+    pq.write_table(pa.Table.from_pylist(out_docs), os.path.join(DST, "documents.parquet"))
+
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    m = emb.num_rows
+    vec_ids = emb.column("vec_id").to_pylist()
+    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+    labels = emb.column("label").to_pylist()
+    ids_out, vecs_out, labels_out = [], [], []
+    for k in range(COPIES):
+        ids_out.extend(v + k * m for v in vec_ids)
+        vecs_out.append(np.roll(vecs, k, axis=1))
+        labels_out.extend(labels)
+    tbl = pa.table({
+        "vec_id": pa.array(ids_out, type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in np.vstack(vecs_out)],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels_out, type=pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(DST, "embeddings.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(PROBE_QUERIES))
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(DST, "embeddings.parquet")):
+        build_sf1()
+
+    from docling_service_spark.queries import QUERIES
+    from docling_service_spark.sparkio.session import get_spark
+
+    spark = get_spark(None, app_name="sf1-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for name in args.queries.split(","):
+        t0 = time.perf_counter()
+        try:
+            rows = QUERIES[name](spark, DST).count()
+            results[name] = {"wall_sec": round(time.perf_counter() - t0, 2),
+                             "rows": rows, "err": None}
+        except Exception as exc:  # the probe's whole point: surface the class
+            results[name] = {"wall_sec": round(time.perf_counter() - t0, 2),
+                             "rows": None,
+                             "err": f"{type(exc).__name__}: {str(exc)[:400]}"}
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps({"sf1_probe": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

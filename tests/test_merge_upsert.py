@@ -189,9 +189,9 @@ def test_merge_into_empty_table(spark, tmp_path):
     assert SnapshotStore(root).read_output(spark).count() == 5
 
 
-def _land_wave(spark, path, docs, name):
+def _land_wave(spark, path, docs, name, schema=INPUT_SCHEMA):
     tmp = f"{path}.{name}.tmp"
-    spark.createDataFrame(docs, INPUT_SCHEMA).coalesce(1).write.parquet(tmp)
+    spark.createDataFrame(docs, schema).coalesce(1).write.parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     os.makedirs(path, exist_ok=True)
     shutil.move(part, os.path.join(path, f"{name}.parquet"))
@@ -221,3 +221,64 @@ def test_stream_merge_upsert_waves(spark, tmp_path):
     # Exactly one live row per doc even though buckets were rewritten.
     assert store.read_output(spark).groupBy("doc_id").count() \
                 .filter(F.col("count") > 1).count() == 0
+
+
+def _store_tree(base: str) -> dict[str, bytes]:
+    out = {}
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, base)] = fh.read()
+    return out
+
+
+def test_stream_merge_markdown_names_match_batch(spark, tmp_path):
+    """Composition (r4 verdict next-round #6): the streaming merge's markdown
+    upload must resolve conflicting same-doc versions through the SAME rule
+    as the batch path — two versions of one doc in ONE micro-batch, and the
+    uploaded key AND bytes must equal what run_merge_upsert + the shared
+    upload helper produce for the identical input."""
+    from docling_service_spark.schemas import INPUT_SCHEMA_WITH_SOURCE
+    from docling_service_spark.sparkio.media_sink import upload_merge_run_markdown
+    from docling_service_spark.sparkio.streaming import INPUT_DDL_WITH_SOURCE
+
+    def _src(name):
+        return {"kind": "upload", "value": f"up/{name}", "original_name": name}
+
+    base = _fresh_doc(1)
+    v_a = {**base, "source": _src("report-v1.docx")}
+    v_b = {**_mutate(base), "source": _src("report-v2.docx")}
+    sibling = {**_fresh_doc(2), "source": _src("notes.html")}
+    batch = [v_a, v_b, sibling]
+
+    # Batch path: merge + the shared merge-mode upload helper (job.py's path).
+    root_b, md_b = str(tmp_path / "tbl_b"), str(tmp_path / "md_b")
+    r = run_merge_upsert(spark, spark.createDataFrame(batch, INPUT_SCHEMA_WITH_SOURCE),
+                         root_b, n_buckets=N_BUCKETS, run_id="m0", keep_prepared=True)
+    prepared = r.pop("prepared_deduped")
+    n_up = upload_merge_run_markdown(spark, root_b, r["run_id"], prepared, md_b)
+    prepared.unpersist()
+    assert n_up == 2  # versions collapsed + sibling
+
+    # Streaming path: the same three rows land as ONE wave.
+    landing, root_s, md_s = (str(tmp_path / "landing"), str(tmp_path / "tbl_s"),
+                             str(tmp_path / "md_s"))
+    _land_wave(spark, landing, batch, "w1", schema=INPUT_SCHEMA_WITH_SOURCE)
+    stream_merge_upsert(spark, landing, root_s, n_buckets=N_BUCKETS,
+                        markdown_store=md_s, input_ddl=INPUT_DDL_WITH_SOURCE)
+
+    tree_b, tree_s = _store_tree(md_b), _store_tree(md_s)
+    assert tree_b, "batch upload produced nothing"
+    assert tree_s == tree_b  # same keys (kept-version filename), same bytes
+    # The kept version's name and content travel together: exactly one
+    # markdown key exists for the conflicted doc, named after the winner.
+    keys = [k for k in tree_s if "new-0001" in k]
+    assert len(keys) == 1
+    assert keys[0].endswith((".docx.md",))  # reference naming: name + .md
+    # Snapshot content matches too (the winner's spans were committed).
+    out_b = {r_["doc_id"]: r_["markdown"]
+             for r_ in SnapshotStore(root_b).read_output(spark).collect()}
+    out_s = {r_["doc_id"]: r_["markdown"]
+             for r_ in SnapshotStore(root_s).read_output(spark).collect()}
+    assert out_b == out_s
