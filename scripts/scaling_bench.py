@@ -349,6 +349,10 @@ Reference (docling-service) single-stream CPU throughput: 0.07–0.125 docs/sec
 ~{r4["docs_per_sec"] / 0.125:.0f}× the reference's best rate at the same per-doc
 semantics; at local[16]: {r16["docs_per_sec"]:.0f} docs/sec.
 
+Related evidence files: `BENCH/SF1_PROBE.md` (10x-scale query probe — no
+new overflow/codegen/memory class), per-round `BENCH_r*.json` (query bench
+incl. the skewed-corpus direct-vs-salted section).
+
 ## Raw job reports
 
 ```json

@@ -10,12 +10,19 @@ five most expensive queries once each, reporting wall + row count or the
 failure.
 
 Scaling recipe (deterministic):
-- documents: 10 copies, ``doc_id += k*N``; word-rotation by a per-copy prime
-  offset decorrelates the 3-gram shingle sets (a verbatim copy would make
-  every doc a near-dup of its 9 clones — unrepresentative pair explosion),
-  while preserving vocabulary, length and token statistics.
-- embeddings: 10 copies, ``vec_id += k*M``; vector rotated by k dims
-  (norm-preserving, decorrelates cosine).
+- documents: 10 copies, ``doc_id = old*10 + k`` (INTERLEAVED, so the
+  quadratic-oracle queries' ``doc_id < PAIR_LIMIT`` slice still contains
+  copy groups); word-rotation by a per-copy prime offset varies the copies
+  while preserving vocabulary/length stats — note a rotation PRESERVES all
+  but ~2 word-3-gram shingles, so copy groups are genuine near-dups: the
+  dedup queries face real 10-deep duplicate clusters, the intended stress.
+- embeddings: 10 copies, ``vec_id = old*10 + k``; vector rolled by k dims
+  (norm-preserving; cosine between a vector and its roll is decorrelated).
+
+Beyond the driver queries, the probe also runs the LIBRARY-scale jaccard
+path (``jaccard_pairs`` over the FULL corpus with sampled-DF mode) — the
+driver's q31 is oracle-bounded to PAIR_LIMIT docs by design and cannot
+stress the join at sf1.
 
 Usage: python3 scripts/sf1_probe.py [--queries q31,...]
 """
@@ -46,12 +53,11 @@ def build_sf1() -> None:
     os.makedirs(DST, exist_ok=True)
 
     docs = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pylist()
-    n = len(docs)
     out_docs = []
     for k in range(COPIES):
         for d in docs:
             d2 = dict(d)
-            d2["doc_id"] = d["doc_id"] + k * n
+            d2["doc_id"] = d["doc_id"] * COPIES + k
             if k:
                 toks = (d["text"] or "").split()
                 if toks:
@@ -67,7 +73,7 @@ def build_sf1() -> None:
     labels = emb.column("label").to_pylist()
     ids_out, vecs_out, labels_out = [], [], []
     for k in range(COPIES):
-        ids_out.extend(v + k * m for v in vec_ids)
+        ids_out.extend(v * COPIES + k for v in vec_ids)
         vecs_out.append(np.roll(vecs, k, axis=1))
         labels_out.extend(labels)
     tbl = pa.table({
@@ -93,10 +99,22 @@ def main() -> None:
     spark = get_spark(None, app_name="sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
-    for name in args.queries.split(","):
+
+    def _lib_jaccard(spark, sf_dir):
+        # The 100-TB jaccard path: FULL corpus, sampled-DF stop-shingle mode
+        # (q31 itself is oracle-bounded to PAIR_LIMIT docs by design).
+        from docling_service_spark.queries.common import load
+        from docling_service_spark.queries.dedup import jaccard_pairs
+
+        return jaccard_pairs(load(spark, sf_dir, "documents"),
+                             max_df=64, df_sample_mod=4)
+
+    probes = {name: QUERIES[name] for name in args.queries.split(",")}
+    probes["lib_jaccard_full_sampled_df"] = _lib_jaccard
+    for name, fn in probes.items():
         t0 = time.perf_counter()
         try:
-            rows = QUERIES[name](spark, DST).count()
+            rows = fn(spark, DST).count()
             results[name] = {"wall_sec": round(time.perf_counter() - t0, 2),
                              "rows": rows, "err": None}
         except Exception as exc:  # the probe's whole point: surface the class
