@@ -139,23 +139,39 @@ def main() -> None:
         best_of(name, lambda q=q: materialize(q(spark, SF_DIR)), QUERY_RUNS)
 
     # Skewed-corpus section (r4 verdict next-round #4): a heavy-tailed corpus
-    # with 1% of docs 100x larger, CLUSTERED into the first input partition
-    # (oversize_first + spark.range's contiguous splits) — the pathological
-    # layout run_extraction's opt-in salted repartition exists for.  Timed
-    # both ways so the salting knob has a measured crossover, not folklore:
-    # salt when the straggler tail (max-partition doc-equivalents / per-core
-    # rate) exceeds the salted wall (total work spread over all cores PLUS
-    # the shuffle's nested-row codec toll, ~2x the extraction of the moved
-    # rows — CLAUDE.md gotcha).  With uniformly-sized or pre-spread inputs
-    # the direct path wins; see BENCH/BASELINE.md for the recorded numbers.
-    skew_n = max(300, N_DOCS // 4)
-    giants = max(4, skew_n // 100)
-    skew_df = corpus_df(spark, skew_n, partitions=CPUS,
-                        oversize_first=giants, oversize_factor=100)
-    best_of("skew_direct", lambda: materialize(run_extraction(skew_df)), QUERY_RUNS)
-    best_of("skew_salted",
-            lambda: materialize(run_extraction(skew_df, num_partitions=CPUS * 4)),
-            QUERY_RUNS)
+    # with 1% of docs 100x larger, CLUSTERED (oversize_first + spark.range's
+    # contiguous splits) and MATERIALIZED to a 4-file parquet table — a
+    # clustered-key table whose row-group boundaries keep the giants clumped,
+    # the pathological layout run_extraction's opt-in salted repartition
+    # exists for.  (Timing the generator pipeline directly would hide the
+    # contrast: generation itself runs at the input's parallelism either
+    # way and dominates.)  Timed both ways so the salting knob has a
+    # measured crossover, not folklore: salt when the straggler tail
+    # (max-split doc-equivalents / per-core rate) exceeds the salted wall
+    # (total work over all cores PLUS the shuffle's nested-row codec toll,
+    # ~2x the extraction of the moved rows — CLAUDE.md gotcha).  With
+    # uniformly-sized or pre-spread inputs direct wins (measured: sf0.01
+    # spread layout, direct 0.55 s vs salted 1.28 s); on this clustered
+    # table salting wins — see BENCH_r{N} for the recorded pair.
+    import shutil
+    import tempfile
+
+    skew_n = max(600, N_DOCS)
+    giants = max(6, skew_n // 100)
+    skew_dir = tempfile.mkdtemp(prefix="dss-bench-skew-")
+    try:
+        corpus_df(spark, skew_n, partitions=4,
+                  oversize_first=giants, oversize_factor=100) \
+            .write.parquet(skew_dir + "/corpus", mode="overwrite")
+        skew_ddl = ("doc_id string, spans array<struct<kind:string,text:string,"
+                    "media_ref:string,offset:int>>")
+        scan = spark.read.schema(skew_ddl).parquet(skew_dir + "/corpus")
+        best_of("skew_direct", lambda: materialize(run_extraction(scan)), QUERY_RUNS)
+        best_of("skew_salted",
+                lambda: materialize(run_extraction(scan, num_partitions=CPUS * 4)),
+                QUERY_RUNS)
+    finally:
+        shutil.rmtree(skew_dir, ignore_errors=True)
 
     docs_per_sec = N_DOCS / extract_sec
     print(json.dumps({
@@ -169,8 +185,8 @@ def main() -> None:
         "classify_stage_cpu_ms": classify_ms,
         "classify_share_of_cpu_budget": round(classify_ms / (lineage_wall * CPUS * 1000), 3),
         "skew": {"n_docs": skew_n, "giants": giants, "giant_factor": 100,
-                 "layout": "giants clustered in partition 0 of "
-                           f"{CPUS}; salted = num_partitions={CPUS * 4}"},
+                 "layout": "4-file clustered parquet table, giants in file 0; "
+                           f"salted = num_partitions={CPUS * 4}"},
         "protocol": {"headline_runs": HEADLINE_RUNS, "query_runs": QUERY_RUNS,
                      "report": "min",
                      # The share is a SINGLE sample (the headline is min-of-3)
