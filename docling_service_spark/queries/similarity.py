@@ -321,12 +321,16 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
         # Prune the superseded round: step N's write fully consumed step
         # N-1's files, and ``labels`` is rebound to the new read below —
         # nothing re-executes the old lineage.  Never prunes step-001 (the
-        # edge pin backs every round's joins).
+        # edge pin backs every round's joins).  Deletion goes through the
+        # SAME Hadoop FileSystem the write used — checkpoint_dir is an
+        # hdfs://-style URI on the clusters this path exists for, where a
+        # driver-local shutil.rmtree would silently delete nothing.
         prev = _step[0] - 1
         if prev >= 2:
-            import shutil
-
-            shutil.rmtree(f"{checkpoint_dir}/step-{prev:03d}", ignore_errors=True)
+            sc = df.sparkSession.sparkContext
+            jpath = sc._jvm.org.apache.hadoop.fs.Path(
+                f"{checkpoint_dir}/step-{prev:03d}")
+            jpath.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jpath, True)
         return out
 
     edges = _materialize(

@@ -185,20 +185,29 @@ def upload_markdown(output_df: DataFrame, base_path: Optional[str] = None,
         work.unpersist()
 
 
+def _upload_batch_docs_markdown(output_df: DataFrame, prepared: DataFrame,
+                                store_path) -> int:
+    """Shared tail of the merge-mode upload rule: restrict to the batch's
+    own docs and name them from the SAME kept version that won the content
+    pick (``dedup_latest_version`` ran inside ``run_merge_upsert``), so
+    filename and content can never desynchronize."""
+    written = output_df.join(prepared.select("doc_id"), "doc_id", "left_semi")
+    names = None
+    if "source" in prepared.columns:
+        names = prepared.select(
+            "doc_id", F.col("source.original_name").alias("original_name"))
+    return upload_markdown(written, store_path, names_df=names)
+
+
 def upload_merge_run_markdown(spark, table_root: str, run_id: str,
                               prepared: DataFrame, store_path) -> int:
     """Upload ONE merge run's markdown blobs — THE merge-mode upload rule,
     shared by ``job.py --merge-upsert --markdown-store`` and the streaming
     twin (``stream_merge_upsert(markdown_store=)``) so batch and stream
-    cannot drift:
-
-    - restricted to the batch's own docs (``prepared`` is the merge's
-      deduped frame): a merge run dir also carries same-bucket sibling docs
-      absent from the batch, and uploading those would mint a new
-      ``{doc_id}.md`` key beside their original upload;
-    - names come from the SAME kept version that won the content pick
-      (``dedup_latest_version`` ran inside ``run_merge_upsert``), so
-      filename and content can never desynchronize."""
+    cannot drift.  Restricted to the batch's own docs: a merge run dir also
+    carries same-bucket sibling docs absent from the batch, and uploading
+    those would mint a new ``{doc_id}.md`` key beside their original
+    upload."""
     import os
 
     from .batch import INSTRUMENTED_DDL
@@ -206,13 +215,29 @@ def upload_merge_run_markdown(spark, table_root: str, run_id: str,
 
     run_dir = os.path.join(table_root, "data", f"run={run_id}")
     written = strip_instrumentation(
-        spark.read.schema(INSTRUMENTED_DDL).parquet(run_dir)
-    ).join(prepared.select("doc_id"), "doc_id", "left_semi")
-    names = None
-    if "source" in prepared.columns:
-        names = prepared.select(
-            "doc_id", F.col("source.original_name").alias("original_name"))
-    return upload_markdown(written, store_path, names_df=names)
+        spark.read.schema(INSTRUMENTED_DDL).parquet(run_dir))
+    return _upload_batch_docs_markdown(written, prepared, store_path)
+
+
+def upload_committed_markdown(spark, table_root: str, prepared: DataFrame,
+                              store_path) -> int:
+    """Replay-recovery twin of ``upload_merge_run_markdown``: upload the
+    batch's blobs from the COMMITTED snapshot instead of a specific run dir.
+
+    Why it exists (review finding): a streaming merge that crashes AFTER its
+    commit but BEFORE the markdown upload replays as a zero-changed-docs
+    no-op — the docs are live in the table, but no run dir identifies them
+    and the upload would be skipped forever.  Puts are doc-addressed
+    last-writer-wins, so re-uploading an already-uploaded batch is
+    idempotent (same input ⇒ same bytes); the read is bucket-pruned to the
+    batch's buckets, so recovery costs O(touched buckets), not O(table)."""
+    from .checkpoint import SnapshotStore
+    from .pipeline import strip_instrumentation
+
+    buckets = [r["_bucket"] for r in prepared.select("_bucket").distinct().collect()]
+    out = SnapshotStore(table_root).read_output(spark, instrumented=True)
+    written = strip_instrumentation(out.filter(F.col("_bucket").isin(buckets)))
+    return _upload_batch_docs_markdown(written, prepared, store_path)
 
 
 def markdown_urls(output_df: DataFrame, store,

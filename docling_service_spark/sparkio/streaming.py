@@ -99,10 +99,14 @@ def stream_merge_upsert(
     (``upload_merge_run_markdown``: batch docs only, kept-version names) —
     pass ``input_ddl=INPUT_DDL_WITH_SOURCE`` when the landing files carry
     source metadata so reference filenames resolve (else ``{doc_id}.md``).
-    Replay-safe: markdown puts are doc-addressed last-writer-wins and a
-    replayed batch no-ops before reaching the upload."""
+    Replay-safe WITHOUT loss: a batch replayed after a crash between the
+    merge commit and the upload merges as a zero-changed no-op, so the
+    no-op path re-uploads the batch's blobs from the COMMITTED snapshot
+    (``upload_committed_markdown``, bucket-pruned) — puts are doc-addressed
+    last-writer-wins, so re-uploading an already-delivered batch is
+    idempotent and the crash window cannot silently drop blobs."""
     from .checkpoint import run_merge_upsert
-    from .media_sink import upload_merge_run_markdown
+    from .media_sink import upload_committed_markdown, upload_merge_run_markdown
 
     reader = spark.readStream.schema(input_ddl or INPUT_DDL)
     if max_files_per_trigger:
@@ -116,10 +120,17 @@ def stream_merge_upsert(
                                    keep_prepared=markdown_store is not None)
         prepared = summary.pop("prepared_deduped", None)
         try:
-            if (markdown_store and summary["snapshot_id"] is not None
-                    and summary["buckets"]):
-                upload_merge_run_markdown(s, table_root, summary["run_id"],
-                                          prepared, markdown_store)
+            if markdown_store:
+                if summary["snapshot_id"] is not None and summary["buckets"]:
+                    upload_merge_run_markdown(s, table_root, summary["run_id"],
+                                              prepared, markdown_store)
+                else:
+                    # No-op merge: either a replay of a batch whose upload
+                    # may have died post-commit, or genuinely re-sent data —
+                    # both recover/no-harm via the idempotent committed-
+                    # snapshot upload.
+                    upload_committed_markdown(s, table_root, prepared,
+                                              markdown_store)
         finally:
             if prepared is not None:
                 prepared.unpersist()

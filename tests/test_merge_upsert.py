@@ -282,3 +282,36 @@ def test_stream_merge_markdown_names_match_batch(spark, tmp_path):
     out_s = {r_["doc_id"]: r_["markdown"]
              for r_ in SnapshotStore(root_s).read_output(spark).collect()}
     assert out_b == out_s
+
+
+def test_stream_merge_markdown_replay_recovers_lost_upload(spark, tmp_path):
+    """Review finding: a micro-batch that crashes AFTER its merge commit but
+    BEFORE the markdown upload replays as a zero-changed no-op — the old
+    gate skipped the upload forever, silently losing the batch's blobs.
+    The no-op path must re-upload from the committed snapshot."""
+    from docling_service_spark.schemas import INPUT_SCHEMA_WITH_SOURCE
+    from docling_service_spark.sparkio.streaming import INPUT_DDL_WITH_SOURCE
+
+    def _src(name):
+        return {"kind": "upload", "value": f"up/{name}", "original_name": name}
+
+    batch = [{**_fresh_doc(1), "source": _src("a.docx")},
+             {**_fresh_doc(2), "source": _src("b.html")}]
+    landing = str(tmp_path / "landing")
+    root, md = str(tmp_path / "tbl"), str(tmp_path / "md")
+    _land_wave(spark, landing, batch, "w1", schema=INPUT_SCHEMA_WITH_SOURCE)
+    stream_merge_upsert(spark, landing, root, n_buckets=N_BUCKETS,
+                        markdown_store=md, input_ddl=INPUT_DDL_WITH_SOURCE)
+    complete = _store_tree(md)
+    assert len(complete) == 2
+
+    # Simulate the crash window: the commit survived (table untouched) but
+    # the upload's effects are gone, and the streaming checkpoint never
+    # advanced — the same files replay as a fresh query.
+    shutil.rmtree(md)
+    shutil.rmtree(os.path.join(root, "_stream_checkpoint"))
+    stream_merge_upsert(spark, landing, root, n_buckets=N_BUCKETS,
+                        markdown_store=md, input_ddl=INPUT_DDL_WITH_SOURCE)
+    assert _store_tree(md) == complete  # recovered, byte-identical
+    # And the replay did NOT re-commit anything (still one table snapshot).
+    assert SnapshotStore(root).current_manifest()["snapshot_id"] == 1
