@@ -119,19 +119,24 @@ def _fast_build(fragment: str) -> _Element:
         if m.start() > pos:
             stack[-1].children.append(_unescape(fragment[pos : m.start()]))
         pos = m.end()
-        tag = m.group(2)
+        # One groups() call instead of four group(i) lookups, and skip the
+        # lower() allocation for already-lowercase markup (the common case)
+        # — this loop runs once per token and is the kernel's hottest
+        # non-extract function.
+        closing, tag, attrs, selfclose = m.groups()
         if tag is None:
             continue  # comment / doctype / PI
-        tag = tag.lower()
-        if m.group(1):  # closing tag
+        if not tag.islower():
+            tag = tag.lower()
+        if closing:  # closing tag
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
                     break
             continue
-        el = _Element(tag, m.group(3))
+        el = _Element(tag, attrs)
         stack[-1].children.append(el)
-        if m.group(4) or tag in VOID_TAGS:
+        if selfclose or tag in VOID_TAGS:
             continue
         if tag in _RAWTEXT_TAGS:
             close = _RAWTEXT_CLOSE[tag].search(fragment, pos)

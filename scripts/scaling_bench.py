@@ -157,6 +157,27 @@ budget; 2.3x throughput loss at 4 cores). Fixed in `sparkio/session.py`
 == N`, in-worker wall totals fit the pinned-core budget, pinned local[4]
 went 537 → 1256 docs/s on the same corpus.
 
+**Round-5 attack on the named ceiling (kernel allocation):** the r4
+decomposition said the extract stage tracks the DRAM-streaming ceiling, so
+round 5 cut the kernel's allocation churn at its three hottest sites
+(columnar span decode — no per-span dicts; fused metadata emitter — no dict
+tree; tuple block passes): container allocations −35% (gen0 collections
+192.5→125.2 per 1k docs), per-batch transient peak −25%, single-core kernel
+throughput +35% (`scripts/kernel_profile.py`).  Same-corpus job throughput
+rose from 1571 to ~2900–3039 docs/s at local[4] (+85–93%) and 4699 to a
+best 8625 docs/s at local[16].  Raw 4→16 efficiency did NOT rise with it:
+every round-5 window measured a busy-loop ceiling of 0.74–0.83 (r4's best
+window read 0.937), 16-core walls swung 21–49 s across identical runs
+inside single studies, and the best same-window pair reached 0.761 — the
+samples keep landing AT the same-window host ceiling, wherever that ceiling
+is.  The faster kernel also shrinks the Python share of the wall, so the
+job's fixed JVM component (scan, parquet write, summarize/lineage jobs)
+weighs more at 16 cores — which is why the study corpus grew to 180k docs
+(amortize fixed cost; the 60k/180k samples are marked in the table).  A
+measured fusion of the summarize+lineage passes (grouping sets, one scan)
+was ~1.3 s SLOWER at small scale — per-job launch latency dominates those
+stages, not the second pruned read — and was dropped.
+
 **Why raw efficiency is host-capped, not software-capped:** per-doc
 IN-WORKER extraction wall (pure Python, from the lineage table) grows from
 1.40 ms at 4 pinned cores to 2.03 ms at 16 inside identical work — a 0.69
