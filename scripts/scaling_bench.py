@@ -183,7 +183,8 @@ criterion in every window measured** (`scripts/kernel_scaling.py`,
 `BENCH/kernel_scaling.jsonl`): the exact mapInArrow kernel body (Arrow
 decode → extract → Arrow encode, zero Spark) run in 4 vs 16 pinned worker
 processes measured raw 4→16 efficiencies of **0.961, 0.802, 0.839, 0.884,
-0.863** — five samples, all ≥0.8, median 0.863 — in the SAME afternoon
+0.863, 1.005, 0.884, 0.906** — eight samples, all ≥0.8, median 0.884 — in
+the SAME afternoon
 whose busy-loop calibrations read 0.74–0.83 and whose job-level samples
 read 0.51–0.71.  Before the round-5 allocation work the r4 decomposition
 showed extraction pinned AT the DRAM-streaming ceiling (raw 0.748 ≈ mem
