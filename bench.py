@@ -86,6 +86,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    sample_outliers: dict[str, dict] = {}
 
     def timed(fn) -> float:
         t0 = time.perf_counter()
@@ -97,6 +98,14 @@ def main() -> None:
         samples[name] = secs
         best = min(secs)
         timings[name] = best
+        # Reverse-warm-up outlier flag (r5 verdict #7: q24 once sampled
+        # [0.399, 1.87] — FIRST run fastest, opposite the warm-up pattern,
+        # i.e. the later sample timed a concurrent GC/eviction, not the
+        # query).  Surfacing it in the report keeps round-over-round
+        # comparisons honest without changing the best-of rule.
+        if len(secs) > 1 and secs[0] == best and max(secs) > 2.5 * best:
+            sample_outliers[name] = {
+                "note": "first-run-fastest; later sample >2.5x", "secs": secs}
         return best
 
     # Headline: extraction throughput (no-shuffle fast path: generator/scan
@@ -194,6 +203,7 @@ def main() -> None:
                      # denominator come from the same run by design.
                      "classify_share_runs": 1},
         "samples": samples,
+        "sample_outliers": sample_outliers,
     }))
     spark.stop()
 

@@ -26,7 +26,7 @@ from json.encoder import encode_basestring_ascii as _esc
 
 from ..hashing import media_key, xxh64_hexdigest
 from . import geometry as G
-from .fastjson import _float_repr
+from .fastjson import _enc as _json_enc, _float_repr
 from .html_extract import extract_html_blocks
 
 RAW_KINDS = frozenset(["html", "text_block", "table_block", "image", "page_dims", "page_break",
@@ -390,7 +390,14 @@ def _metadata_json(images: list[dict], tables: list[dict], pages_list: list[dict
         for k, v in doc_meta.items():
             out.append(f"\n    {_esc(k)}: " if first else f",\n    {_esc(k)}: ")
             first = False
-            out.append(_scalar(v))
+            if v is None or v is True or v is False or type(v) in (str, int, float):
+                out.append(_scalar(v))
+            else:
+                # The engine's own doc_meta is scalar-only (see the
+                # construction site below), but a future structured field must
+                # not silently break the block: fall back to the generic
+                # depth-aware encoder, still byte-identical to dumps_indent2.
+                _json_enc(v, 2, out)
         out.append("\n  }\n}")
     else:
         out.append('\n  "metadata": {}\n}')

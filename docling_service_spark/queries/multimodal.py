@@ -4,8 +4,11 @@ this container — the Spark-side schema/partitioning/UDF plumbing is real).
 
 The fake "decode" derives deterministic features from the raw bytes, so the
 whole flow HAS a DuckDB oracle: the oracle recomputes the same features from
-the source text (bytes are its UTF-8 encoding).  Swapping ``_decode_stub``
-for a real PIL/ffmpeg call changes nothing structurally.
+the source text (bytes are its UTF-8 encoding).  The real Pillow-backed
+twins (``decode_image_real`` / ``sample_frames_real``) plug into the same
+``media_features`` / ``frame_sample`` plumbing — identical signature, empty-
+payload rule, and output schema — and are exercised by the importorskip-
+gated tests/test_multimodal_real.py wherever the library exists.
 """
 
 from __future__ import annotations
@@ -36,19 +39,46 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     return w, h, n_frames, fmt
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        feats = [_decode_stub(b) for b in pdf["media_bytes"]]
-        yield pd.DataFrame(
-            {
-                "media_id": pdf["media_id"].astype("int64"),
-                "n_bytes": [len(b) for b in pdf["media_bytes"]],
-                "fake_width": [f[0] for f in feats],
-                "fake_height": [f[1] for f in feats],
-                "n_frames": [f[2] for f in feats],
-                "format_guess": [f[3] for f in feats],
-            }
-        )
+def decode_image_real(payload: bytes) -> tuple[int, int, int, str]:
+    """Real decode twin of ``_decode_stub`` — identical signature, empty-
+    payload rule, and tuple contract, backed by Pillow.  The library is
+    absent in this container, so execution is importorskip-gated
+    (tests/test_multimodal_real.py); the day the cluster image carries PIL,
+    ``media_features(df, decode=decode_image_real)`` is the whole swap."""
+    import io
+
+    from PIL import Image  # gated: ImportError surfaces to the caller
+
+    if not payload:
+        return 0, 0, 0, "empty"
+    with Image.open(io.BytesIO(payload)) as img:
+        return (img.width, img.height, int(getattr(img, "n_frames", 1)),
+                (img.format or "unknown").lower())
+
+
+def _decode_batches_with(decode) -> "callable":
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(b) for b in pdf["media_bytes"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": [len(b) for b in pdf["media_bytes"]],
+                    "fake_width": [f[0] for f in feats],
+                    "fake_height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "format_guess": [f[3] for f in feats],
+                }
+            )
+    return gen
+
+
+def media_features(media_df, decode=_decode_stub):
+    """The q50 plumbing with a pluggable per-payload decoder: binary column
+    → mapInPandas batches → typed feature rows.  The Spark side (schema,
+    batch shape, partition inheritance) is identical for stub and real
+    decoders — that equivalence is what tests/test_multimodal_real.py pins."""
+    return media_df.mapInPandas(_decode_batches_with(decode), MEDIA_OUT_DDL)
 
 
 def _media_df(spark, sf_dir):
@@ -65,7 +95,7 @@ def _media_df(spark, sf_dir):
 
 def q50_media_features(spark, sf_dir):
     """binary column → mapInPandas(decode stub) → typed feature rows."""
-    return _media_df(spark, sf_dir).mapInPandas(_decode_batches, MEDIA_OUT_DDL)
+    return media_features(_media_df(spark, sf_dir))
 
 
 # Oracle recomputes the stub's features from text: for ASCII-safe synthetic
@@ -111,21 +141,56 @@ def _sample_frames_stub(payload: bytes) -> list[tuple[int, int, int]]:
     return out
 
 
-def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        ids, idxs, tss, lumas = [], [], [], []
-        for mid, payload in zip(pdf["media_id"], pdf["media_bytes"]):
-            for idx, ts, luma in _sample_frames_stub(payload):
-                ids.append(int(mid))
-                idxs.append(idx)
-                tss.append(ts)
-                lumas.append(luma)
-        yield pd.DataFrame({
-            "media_id": pd.Series(ids, dtype="int64"),
-            "frame_idx": pd.Series(idxs, dtype="int64"),
-            "ts_ms": pd.Series(tss, dtype="int64"),
-            "luma": pd.Series(lumas, dtype="int64"),
-        })
+def sample_frames_real(payload: bytes) -> list[tuple[int, int, int]]:
+    """Real frame-sampler twin of ``_sample_frames_stub``: the SAME stride/
+    cap arithmetic (every FRAME_STRIDE-th frame, idx < n_frames, at most
+    MAX_SAMPLED) over a real multi-frame image (GIF/TIFF via Pillow
+    ``seek``; an ffmpeg build would seek with ``-ss`` identically), with
+    per-frame luma = mean grayscale value.  Importorskip-gated like
+    decode_image_real."""
+    import io
+
+    from PIL import Image  # gated: ImportError surfaces to the caller
+
+    if not payload:
+        return []
+    out = []
+    with Image.open(io.BytesIO(payload)) as img:
+        n_frames = int(getattr(img, "n_frames", 1))
+        for k in range(MAX_SAMPLED):
+            idx = k * FRAME_STRIDE
+            if idx >= n_frames:
+                break
+            img.seek(idx)
+            gray = img.convert("L").getdata()
+            luma = int(sum(gray) // max(1, len(gray)))
+            out.append((idx, idx * FRAME_MS, luma))
+    return out
+
+
+def _frame_batches_with(sampler) -> "callable":
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, lumas = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media_bytes"]):
+                for idx, ts, luma in sampler(payload):
+                    ids.append(int(mid))
+                    idxs.append(idx)
+                    tss.append(ts)
+                    lumas.append(luma)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "ts_ms": pd.Series(tss, dtype="int64"),
+                "luma": pd.Series(lumas, dtype="int64"),
+            })
+    return gen
+
+
+def frame_sample(media_df, sampler=_sample_frames_stub):
+    """The q51 plumbing with a pluggable per-payload frame sampler — the
+    1→many fan-out happens inside the Arrow batch for stub and real alike."""
+    return media_df.mapInPandas(_frame_batches_with(sampler), FRAMES_OUT_DDL)
 
 
 def q51_frame_sample(spark, sf_dir):
@@ -134,7 +199,7 @@ def q51_frame_sample(spark, sf_dir):
     number of output rows inside the Arrow batch) is the frame-extraction
     pattern at any scale: no explode shuffle, no driver involvement, output
     partitioning inherits the input's."""
-    return _media_df(spark, sf_dir).mapInPandas(_frame_batches, FRAMES_OUT_DDL)
+    return frame_sample(_media_df(spark, sf_dir))
 
 
 # Same ASCII-safe byte<->char correspondence as q50's oracle; the sampled

@@ -285,7 +285,8 @@ def q43_embedding_near_dup_keepers(spark, sf_dir):
 
 
 def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         telemetry: dict | None = None):
     """Min-label propagation with pointer jumping over ``vertices (vec_id)``
     and undirected ``pairs (id_a, id_b)``.  Returns ``(labels, rounds)`` where
     labels has (vec_id, keeper_id = component min).  See q43 docstring for
@@ -308,7 +309,14 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     directory (edge pin + final step) after consuming the labels.  Default
     (None) stays executor-block-backed: cheapest, correct in local mode and
     on clusters that accept job-restart-on-executor-loss.
+
+    ``telemetry`` (optional dict) receives per-round diagnostics:
+    ``round_walls_sec`` (driver wall per round, materialize + convergence
+    aggregate included), ``edge_pin_sec``, and ``changed_per_round`` — the
+    r5 verdict #3 instrument for separating per-round fixed job latency
+    from data-volume cost in scale probes.
     """
+    import time as _time
     _step = [0]
 
     def _materialize(df):
@@ -333,10 +341,15 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
             jpath.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jpath, True)
         return out
 
+    _t0 = _time.perf_counter()
     edges = _materialize(
         pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer"))
         .unionByName(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer")))
     )  # pin the edge set; the pair query never re-runs
+    if telemetry is not None:
+        telemetry["edge_pin_sec"] = round(_time.perf_counter() - _t0, 3)
+        telemetry["round_walls_sec"] = []
+        telemetry["changed_per_round"] = []
     labels = vertices.select("vec_id", F.col("vec_id").alias("keeper_id"))
     dangling = edges.join(labels, "vec_id", "left_anti").count()
     if dangling:
@@ -348,6 +361,7 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
+        _rt0 = _time.perf_counter()
         neigh = (
             edges.join(labels.select(F.col("vec_id").alias("peer"),
                                      F.col("keeper_id").alias("peer_keeper")), "peer")
@@ -374,6 +388,9 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
         flagged = _materialize(flagged)  # the round's single materializing action
         changed = flagged.agg(F.sum("chg")).collect()[0][0] or 0
         labels = flagged.select("vec_id", "keeper_id")
+        if telemetry is not None:
+            telemetry["round_walls_sec"].append(round(_time.perf_counter() - _rt0, 3))
+            telemetry["changed_per_round"].append(int(changed))
         if changed == 0:
             break
     if changed:

@@ -39,7 +39,7 @@ import time
 import uuid
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .batch import INSTRUMENTED_DDL
 from .pipeline import derive_lineage, run_extraction, strip_instrumentation
@@ -614,15 +614,40 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
         # keeps them live without re-extracting.
         out = out.unionByName(carry_rows)
 
+    # Per-bucket summaries ride the WRITE action as df.observe metrics
+    # (r5 verdict next-round #1b): conditional aggregates per processed
+    # bucket collected during the extraction job itself — the post-write
+    # summarize scan job this replaces was pure fixed per-run cost (the
+    # N→4N study's residual), and observe launches NO extra job.  The
+    # bucket list is known pre-action, so the pivot is static; CollectMetrics
+    # is a narrow node (the zero-Exchange-before-mapInArrow plan survives).
+    obs = Observation(f"bucket-sums-{run_id}")
+    obs_exprs = [F.count(F.lit(1)).alias("_total")]
+    for b in buckets:
+        cond = F.col("_bucket") == int(b)
+        obs_exprs += [
+            F.count(F.when(cond, 1)).alias(f"n_{b}"),
+            F.sum(F.when(cond, F.col("_input_hash").cast("decimal(38,0)"))).alias(f"s_{b}"),
+            F.sum(F.when(cond, F.xxhash64(F.col("_input_hash")).cast("decimal(38,0)"))).alias(f"s2_{b}"),
+        ]
+    out = out.observe(obs, *obs_exprs)
+
     data_dir = os.path.join(root, "data", f"run={run_id}")
     out.write.parquet(data_dir, mode="overwrite")
     timings["extract_and_write_ms"] = int((time.perf_counter() - t0) * 1000)
 
     t0 = time.perf_counter()
     written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
-    # One aggregate replaces the old count(): per-bucket summaries feed the
-    # manifest (upsert pre-filter) and the doc total falls out of them.
-    bucket_sums = _bucket_summaries(written)
+    m = obs.get
+    bucket_sums = {
+        str(b): [int(m[f"n_{b}"]), str(m[f"s_{b}"] or 0), str(m[f"s2_{b}"] or 0)]
+        for b in buckets if m[f"n_{b}"]
+    }
+    if m["_total"] != sum(v[0] for v in bucket_sums.values()):
+        # A row outside the planned bucket list (cannot happen for prepared
+        # inputs; belt-and-braces for future callers): the observed pivot
+        # would silently under-summarize — fall back to the exact scan.
+        bucket_sums = _bucket_summaries(written)
     for b in buckets:  # a wholesale-deleted bucket has zero rows: record it
         bucket_sums.setdefault(str(b), list(_EMPTY_SUM))
     docs = sum(v[0] for v in bucket_sums.values())

@@ -277,6 +277,10 @@ def main() -> None:
     ap.add_argument("--appendix-only", action="store_true",
                     help="rebuild only the history appendix of BENCH/BASELINE.md "
                          "from history.jsonl (no runs)")
+    ap.add_argument("--corpus", default=None,
+                    help="reuse an existing materialized corpus (not deleted "
+                         "afterwards) — a crashed study otherwise throws away "
+                         "the untimed generation work with it")
     args = ap.parse_args()
 
     if args.appendix_only:
@@ -288,17 +292,45 @@ def main() -> None:
 
     calib = cpu_calibration()
     mcalib = mem_calibration()
-    corpus_root = tempfile.mkdtemp(prefix="dss-corpus-")
-    corpus_path = corpus_root + "/corpus"
+    print(json.dumps({"calibration": calib, "mem_calibration": mcalib}), flush=True)
+    corpus_root = None
+    if args.corpus:
+        corpus_path = args.corpus
+        if not os.path.isdir(corpus_path):
+            materialize_corpus(args.n_docs, corpus_path)
+    else:
+        corpus_root = tempfile.mkdtemp(prefix="dss-corpus-")
+        corpus_path = corpus_root + "/corpus"
     try:
-        materialize_corpus(args.n_docs, corpus_path)
+        if corpus_root:
+            materialize_corpus(args.n_docs, corpus_path)
+
+        def _run_logged(master):
+            # Retry-once: a transiently hung/killed python worker (observed
+            # once at local[16]: worker stall -> Arrow socket reset after
+            # 16 min) must not throw away the study's completed runs.
+            for attempt in (1, 2):
+                try:
+                    r = run_level(master, corpus_path)
+                    print(json.dumps({"level": master,
+                                      "wall": r["run_wall_sec"],
+                                      "docs_per_sec": r["docs_per_sec"],
+                                      "steal": r.get("steal_sec_during_run")}),
+                          flush=True)
+                    return r
+                except Exception as exc:
+                    print(json.dumps({"level": master, "attempt": attempt,
+                                      "error": str(exc)[:200]}), flush=True)
+                    if attempt == 2:
+                        raise
+
         # ALTERNATE the two levels so both sample the same host-noise window
         # (this Firecracker host shows invisible neighbor steal: sequential
         # best-of-3 per level measured a 2.2x swing WITHIN one level).
         runs4, runs16 = [], []
         for _ in range(args.repeats):
-            runs4.append(run_level("local[4]", corpus_path))
-            runs16.append(run_level("local[16]", corpus_path))
+            runs4.append(_run_logged("local[4]"))
+            runs16.append(_run_logged("local[16]"))
         r4 = min(runs4, key=lambda r: r["run_wall_sec"])
         r4["all_walls_sec"] = [r["run_wall_sec"] for r in runs4]
         r16 = min(runs16, key=lambda r: r["run_wall_sec"])
@@ -308,7 +340,8 @@ def main() -> None:
             r8 = run_level_repeated("local[8]", corpus_path)
             r32 = run_level_repeated("local[32]", corpus_path)
     finally:
-        shutil.rmtree(corpus_root, ignore_errors=True)
+        if corpus_root:
+            shutil.rmtree(corpus_root, ignore_errors=True)
     t4, t16 = r4["run_wall_sec"], r16["run_wall_sec"]
     eff = (t4 / t16) / 4
     hw_ceiling = calib[4] / calib[16]  # same-window per-core slowdown 4->16 busy cores

@@ -93,6 +93,49 @@ def test_compact_collapses_fragmentation_byte_identical(spark, tmp_path):
     assert _live_files(store) == (1, files_after)
 
 
+def test_compact_vacuum_lifecycle_reclaims_superseded_dirs(spark, tmp_path):
+    """Operability at depth (r5 verdict #6): N=10 merge rounds → compact →
+    vacuum with retention expiry must PHYSICALLY reclaim every superseded
+    run dir — the end-state disk census is exactly the one compacted dir,
+    one retained manifest, and an unchanged byte-identical read."""
+    root = str(tmp_path / "table")
+    corpus = make_corpus(40)
+    run_incremental(spark, spark.createDataFrame(corpus, INPUT_SCHEMA), root,
+                    n_buckets=N_BUCKETS, num_partitions=2, run_id="base")
+    for wave in range(10):
+        batch = [_mutate(corpus[(3 * wave + j) % 40], f"w{wave}") for j in range(3)]
+        run_merge_upsert(spark, spark.createDataFrame(batch, INPUT_SCHEMA),
+                         root, n_buckets=N_BUCKETS, run_id=f"m{wave}")
+    store = SnapshotStore(root)
+    before = _snapshot_rows(spark, store)
+
+    def _dir_census():
+        return sorted(os.path.basename(p)
+                      for p in glob.glob(os.path.join(root, "data", "run=*")))
+
+    assert len(_dir_census()) == 11  # base + 10 merge waves, all still on disk
+
+    r = compact(spark, root, max_live_runs=1, run_id="cpt")
+    assert r["runs_after"] == 1
+    # Compaction itself deletes nothing — superseded dirs await vacuum
+    # (retained manifests may still reference them for rollback).
+    assert len(_dir_census()) == 12
+
+    rep = vacuum(root, keep_manifests=1, min_age_hours=0)
+    assert _dir_census() == ["run=cpt"], "every superseded dir reclaimed"
+    assert len(rep["removed_run_dirs"]) >= 11
+    manifests = [e for e in os.listdir(os.path.join(root, "_manifests"))
+                 if e.startswith("manifest-")]
+    assert len(manifests) == 1  # retention expired all but the compaction's
+
+    # The single-dir table still reads byte-identically, point reads
+    # included, and the O(manifest) live count survived.
+    assert _snapshot_rows(spark, store) == before
+    assert store.live_doc_count() == 40
+    one = store.read_docs(spark, [corpus[5]["doc_id"]]).collect()
+    assert len(one) == 1 and one[0]["doc_id"] == corpus[5]["doc_id"]
+
+
 def test_compact_respects_budget_and_empty_table(spark, tmp_path):
     root = str(tmp_path / "table")
     assert compact(spark, root, run_id="c0")["snapshot_id"] is None  # empty

@@ -284,6 +284,50 @@ def test_stream_merge_markdown_names_match_batch(spark, tmp_path):
     assert out_b == out_s
 
 
+def test_batch_merge_markdown_rerun_recovers_lost_upload(spark, tmp_path):
+    """Batch twin of the streaming recovery below (r5 advice): a job.py
+    --merge-upsert re-run after a crash between the merge commit and the
+    markdown upload merges as a zero-changed no-op — the old gate skipped
+    the upload forever.  The no-op path must route through the committed-
+    snapshot upload (job.upload_run_markdown)."""
+    from docling_service_spark.schemas import INPUT_SCHEMA_WITH_SOURCE
+
+    import job as job_mod
+
+    def _src(name):
+        return {"kind": "upload", "value": f"up/{name}", "original_name": name}
+
+    batch = [{**_fresh_doc(1), "source": _src("a.docx")},
+             {**_fresh_doc(2), "source": _src("b.html")}]
+    root, md = str(tmp_path / "tbl"), str(tmp_path / "md")
+    inp = spark.createDataFrame(batch, INPUT_SCHEMA_WITH_SOURCE)
+
+    def _run(run_id):
+        summary = run_merge_upsert(spark, inp, root, n_buckets=N_BUCKETS,
+                                   run_id=run_id, keep_prepared=True)
+        prepared = summary.pop("prepared_deduped")
+        try:
+            return summary, job_mod.upload_run_markdown(
+                spark, root, md, summary, merge_mode=True,
+                merge_prepared=prepared, input_df=inp)
+        finally:
+            prepared.unpersist()
+
+    s1, n1 = _run("m1")
+    assert s1["snapshot_id"] is not None and n1 == 2
+    complete = _store_tree(md)
+    assert len(complete) == 2
+
+    # Crash window: commit survived, upload's effects gone; the re-run's
+    # merge diffs to zero changes (no-op) yet must still deliver the blobs.
+    shutil.rmtree(md)
+    s2, n2 = _run("m2")
+    assert s2["snapshot_id"] is None and s2["docs_changed"] == 0
+    assert n2 == 2
+    assert _store_tree(md) == complete  # recovered, byte-identical
+    assert SnapshotStore(root).current_manifest()["snapshot_id"] == 1
+
+
 def test_stream_merge_markdown_replay_recovers_lost_upload(spark, tmp_path):
     """Review finding: a micro-batch that crashes AFTER its merge commit but
     BEFORE the markdown upload replays as a zero-changed no-op — the old
