@@ -249,7 +249,11 @@ ORACLES = {
 NEAR_DUP_SIM_E6 = 350_000  # cosine >= 0.35 (synthetic vectors are near-orthogonal)
 
 
-MAX_CC_ROUNDS = 20
+MAX_CC_ROUNDS = 30  # sf1's worst chain used 20 — headroom without masking divergence
+# Measured (r6, sf1): chained eager localCheckpoints degrade past ~15 rounds
+# (per-round wall doubles; see connected_components docstring) — local-mode
+# loops switch to a scratch-dir spill beyond this.
+_LOCAL_CK_SAFE_ROUNDS = 12
 
 
 def q43_embedding_near_dup_keepers(spark, sf_dir):
@@ -315,15 +319,46 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     aggregate included), ``edge_pin_sec``, and ``changed_per_round`` — the
     r5 verdict #3 instrument for separating per-round fixed job latency
     from data-volume cost in scale probes.
+
+    Long-loop guard (measured, r6): past ~15 chained eager localCheckpoints
+    in one loop, the checkpoint call's wall DOUBLES per round (sf1: rounds
+    17-20 measured 2.5/3.9/7.9/19.9 s on constant-size data, exactly
+    reproducible; the parquet-spill path stays flat at ~1.7 s/round, and
+    JVM System.gc() does not help).  Local-mode runs therefore auto-switch
+    to a Spark-scratch-dir spill after ``_LOCAL_CK_SAFE_ROUNDS`` rounds —
+    same mechanics as ``checkpoint_dir``, directory reclaimed at session
+    stop.  Cluster masters can't use a driver tempdir, so they keep
+    localCheckpoint and warn (deep-diameter cluster runs should pass
+    ``checkpoint_dir``, which is also the executor-loss-tolerant path).
     """
     import time as _time
     _step = [0]
+    _state = {"ckdir": checkpoint_dir, "n_local": 0}
 
     def _materialize(df):
-        if checkpoint_dir is None:
-            return df.localCheckpoint(eager=True)
+        if _state["ckdir"] is None:
+            _state["n_local"] += 1
+            if _state["n_local"] <= _LOCAL_CK_SAFE_ROUNDS:
+                return df.localCheckpoint(eager=True)
+            sc = df.sparkSession.sparkContext
+            if not sc.master.startswith("local"):
+                import warnings
+
+                warnings.warn(
+                    f"connected_components passed {_LOCAL_CK_SAFE_ROUNDS} rounds "
+                    "on the localCheckpoint path; per-round wall degrades past "
+                    "this point (see docstring) — pass checkpoint_dir= on "
+                    "cluster masters", stacklevel=2)
+                return df.localCheckpoint(eager=True)
+            # Local master: spill under Spark's own scratch dir (reclaimed
+            # at session stop — the final labels DF stays backed by the last
+            # step file until then).
+            import tempfile
+
+            _state["ckdir"] = tempfile.mkdtemp(
+                prefix="cc-spill-", dir=sc._temp_dir)
         _step[0] += 1
-        path = f"{checkpoint_dir}/step-{_step[0]:03d}"
+        path = f"{_state['ckdir']}/step-{_step[0]:03d}"
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
         # Prune the superseded round: step N's write fully consumed step
@@ -337,7 +372,7 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
         if prev >= 2:
             sc = df.sparkSession.sparkContext
             jpath = sc._jvm.org.apache.hadoop.fs.Path(
-                f"{checkpoint_dir}/step-{prev:03d}")
+                f"{_state['ckdir']}/step-{prev:03d}")
             jpath.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jpath, True)
         return out
 
@@ -375,7 +410,11 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
                     F.col("keeper_id").alias("old_keeper"))
         )
         # Pointer jump: label-of-label (k1 is itself a vec_id, so the current
-        # labels table gives its label) — halves component depth per round.
+        # labels table gives its label) — compresses label chains.  A SECOND
+        # hop per round (label³) was measured at sf1 and REVERTED: the
+        # convergence tail is a slow neighbor-min wavefront (changed counts
+        # 4,3,2,2,2,3 over rounds 14-19, identical with one hop or two), so
+        # the extra join bought zero rounds for +~10% per-round cost.
         jump = labels.select(F.col("vec_id").alias("k1"), F.col("keeper_id").alias("k1_keeper"))
         flagged = (
             stepped.join(jump, "k1", "left")
