@@ -16,7 +16,7 @@ both, so values match exactly in practice.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Observation, functions as F
 from pyspark.sql.window import Window
 
 from .common import load
@@ -336,6 +336,12 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     _state = {"ckdir": checkpoint_dir, "n_local": 0}
 
     def _materialize(df):
+        # Sets ``_state["spilled"]``: True when the materializing action was
+        # the parquet write (which fulfills any Observation attached to
+        # ``df`` — the convergence count rides it, one less job per round);
+        # False on the localCheckpoint path, which does not reliably fire
+        # the listener, so the caller keeps the explicit aggregate there.
+        _state["spilled"] = False
         if _state["ckdir"] is None:
             _state["n_local"] += 1
             if _state["n_local"] <= _LOCAL_CK_SAFE_ROUNDS:
@@ -358,6 +364,7 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
             _state["ckdir"] = tempfile.mkdtemp(
                 prefix="cc-spill-", dir=sc._temp_dir)
         _step[0] += 1
+        _state["spilled"] = True
         path = f"{_state['ckdir']}/step-{_step[0]:03d}"
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
@@ -424,8 +431,13 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
                     "old_keeper")
             .withColumn("chg", (F.col("keeper_id") != F.col("old_keeper")).cast("int"))
         )
+        obs = Observation(f"cc-chg-{rounds}-{id(flagged)}")
+        flagged = flagged.observe(obs, F.sum("chg").cast("bigint").alias("chg"))
         flagged = _materialize(flagged)  # the round's single materializing action
-        changed = flagged.agg(F.sum("chg")).collect()[0][0] or 0
+        if _state["spilled"]:
+            changed = int(obs.get["chg"] or 0)
+        else:
+            changed = flagged.agg(F.sum("chg")).collect()[0][0] or 0
         labels = flagged.select("vec_id", "keeper_id")
         if telemetry is not None:
             telemetry["round_walls_sec"].append(round(_time.perf_counter() - _rt0, 3))
