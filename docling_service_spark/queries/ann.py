@@ -604,6 +604,88 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --- q47: two-level IVF assignment against the frozen 4x4 quantizer ---------
+#
+# The q44 pattern applied to the hierarchy: training (iterative, driver-free)
+# stays pytest-covered (tests/test_ivf_2level.py), but ASSIGNMENT against a
+# frozen two-level quantizer is a pure static function of the input, so it
+# carries a full DuckDB value oracle — the two-stage argmin (coarse cell,
+# then fine cell within it, (dist, idx) struct-min tie-break at both levels)
+# is mirrored exactly in SQL.
+
+
+def _frozen2_quantizer(spark) -> IVF2Quantizer:
+    from .ivf2_centroids import (
+        FROZEN2_COARSE,
+        FROZEN2_FINE,
+        FROZEN2_K1,
+        FROZEN2_K2,
+    )
+
+    coarse = spark.createDataFrame(
+        [(j, [float(x) for x in w]) for j, w in enumerate(FROZEN2_COARSE)],
+        "c int, w array<double>")
+    fine = spark.createDataFrame(
+        [(c, f, [float(x) for x in w]) for c, f, w in FROZEN2_FINE],
+        "coarse int, fine int, w array<double>")
+    return IVF2Quantizer(coarse, fine, FROZEN2_K1, FROZEN2_K2)
+
+
+def q47_ivf2_assignments(spark, sf_dir):
+    """Every vector's GLOBAL two-level cluster (coarse·k₂ + fine) and
+    floor-scaled distance to its fine centroid, against the frozen 4×4
+    quantizer — the hierarchical twin of q44, fully oracled."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    asg = assign_ivf_2level(emb, _frozen2_quantizer(spark))
+    return asg.select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.floor(F.col("sq_dist") * 1_000_000).cast("bigint").alias("sq_dist_e6"),
+    )
+
+
+def _oracle_q47() -> str:
+    from .ivf2_centroids import FROZEN2_COARSE, FROZEN2_FINE, FROZEN2_K2
+
+    v1 = ",\n".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in w)}]::DOUBLE[])"
+        for j, w in enumerate(FROZEN2_COARSE))
+    v2 = ",\n".join(
+        f"({c}, {f}, [{', '.join(repr(float(x)) for x in w)}]::DOUBLE[])"
+        for c, f, w in FROZEN2_FINE)
+
+    def dist(a: str, b: str) -> str:
+        return (f"list_aggregate(list_transform(generate_series(1, {DIM}), "
+                f"i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i])), 'sum')")
+
+    return f"""
+WITH cents1(c, w) AS (VALUES {v1}),
+cents2(coarse, fine, w) AS (VALUES {v2}),
+s1 AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.c AS c,
+         {dist('e.embedding', 'c.w')} AS d
+  FROM embeddings e CROSS JOIN cents1 c),
+r1 AS (
+  SELECT vec_id, CAST(b.c AS INT) AS coarse
+  FROM (SELECT vec_id, min({{'d': d, 'c': c}}) AS b FROM s1 GROUP BY vec_id)),
+s2 AS (
+  SELECT r1.vec_id, r1.coarse, c2.fine AS fine,
+         {dist('e.embedding', 'c2.w')} AS d
+  FROM r1
+  JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = r1.vec_id
+  JOIN cents2 c2 ON c2.coarse = r1.coarse),
+a2 AS (
+  SELECT vec_id, max(coarse) AS coarse, min({{'d': d, 'c': fine}}) AS b
+  FROM s2 GROUP BY vec_id)
+SELECT vec_id,
+       CAST(coarse AS BIGINT) * {FROZEN2_K2} + CAST(b.c AS BIGINT) AS cluster,
+       CAST(FLOOR(b.d * 1000000) AS BIGINT) AS sq_dist_e6
+FROM a2
+"""
+
+
 # --- q46: IVF-cluster near-dup candidate pairs (SemDeDup shape) -------------------
 
 SEMDEDUP_SIM_E6 = 350_000  # same threshold as the hyperplane near-dup path
@@ -677,6 +759,7 @@ QUERIES = {
     "q44_ivf_assignments": q44_ivf_assignments,
     "q45_ivf_ann_topk": q45_ivf_ann_topk,
     "q46_ivf_cluster_pairs": q46_ivf_cluster_pairs,
+    "q47_ivf2_assignments": q47_ivf2_assignments,
 }
 
 # All three IVF queries run against the frozen quantizer, so all three carry
@@ -686,4 +769,5 @@ ORACLES: dict[str, str] = {
     "q44_ivf_assignments": _oracle_q44(),
     "q45_ivf_ann_topk": _oracle_q45(),
     "q46_ivf_cluster_pairs": _oracle_q46(),
+    "q47_ivf2_assignments": _oracle_q47(),
 }
