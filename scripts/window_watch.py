@@ -62,6 +62,10 @@ def main() -> None:
     ap.add_argument("--steal-gate", type=float, default=1.5)
     ap.add_argument("--max-attempts", type=int, default=3)
     ap.add_argument("--max-hours", type=float, default=4.0)
+    ap.add_argument("--streak", type=int, default=2,
+                    help="consecutive clean probes required before firing "
+                         "(1 = fire immediately; host windows can flicker "
+                         "at the ~1-2 min scale, shorter than a probe gap)")
     args = ap.parse_args()
 
     deadline = time.time() + args.max_hours * 3600
@@ -74,7 +78,7 @@ def main() -> None:
                  and p["steal_sec"] <= args.steal_gate)
         streak = streak + 1 if clean else 0
         print(json.dumps({**p, "clean": clean, "streak": streak}), flush=True)
-        if streak >= 2:
+        if streak >= args.streak:
             streak = 0
             attempts += 1
             print(json.dumps({"firing": attempts}), flush=True)
