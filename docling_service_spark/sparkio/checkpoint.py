@@ -622,7 +622,17 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     # bucket list is known pre-action, so the pivot is static; CollectMetrics
     # is a narrow node (the zero-Exchange-before-mapInArrow plan survives).
     obs = Observation(f"bucket-sums-{run_id}")
-    obs_exprs = [F.count(F.lit(1)).alias("_total")]
+    obs_exprs = [
+        F.count(F.lit(1)).alias("_total"),
+        # Whole-run lineage-style stats ride the same action: on a FRESH
+        # table (this run is the only lineage run) the caller can report
+        # totals without the post-run lineage scan job — more fixed per-run
+        # cost gone.  Only valid without carried rows (merge runs exclude
+        # carried rows from lineage booking, the observation cannot).
+        F.sum("_wall_ms").alias("_wall_ms_total"),
+        F.count(F.when(F.col("status") == "failed", 1)).alias("_failed"),
+        F.count(F.when(F.col("status") == "rejected", 1)).alias("_rejected"),
+    ]
     for b in buckets:
         cond = F.col("_bucket") == int(b)
         obs_exprs += [
@@ -685,8 +695,16 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     lineage = derive_lineage(lineage_src, run_id, snapshot_id)
     lineage.write.parquet(os.path.join(root, "lineage", f"run={run_id}"), mode="overwrite")
     timings["lineage_ms"] = int((time.perf_counter() - t0) * 1000)
-    return {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets,
-            "docs": docs, "timings_ms": timings}
+    summary = {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets,
+               "docs": docs, "timings_ms": timings}
+    if carry_rows is None:
+        summary["run_stats"] = {
+            "docs": int(m["_total"]),
+            "parse_failures": int(m["_failed"]),
+            "rejected": int(m["_rejected"]),
+            "wall_ms": int(m["_wall_ms_total"] or 0),
+        }
+    return summary
 
 
 def run_upsert(

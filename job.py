@@ -207,8 +207,17 @@ def main(argv=None) -> int:
     merge_prepared = summary.pop("prepared_deduped", None)
 
     store = SnapshotStore(args.output)
-    lineage = store.read_lineage(spark)
-    stats = lineage.groupBy().sum("doc_count", "parse_failures", "rejected", "wall_ms").collect()[0]
+    manifest = store.current_manifest()
+    run_stats = summary.get("run_stats")
+    if (run_stats is not None and manifest
+            and manifest.get("lineage_runs") == [summary["run_id"]]):
+        # Fresh table, single lineage run: the totals already rode the
+        # extraction write as observe metrics — no post-run scan job.
+        stats = (run_stats["docs"], run_stats["parse_failures"],
+                 run_stats["rejected"], run_stats["wall_ms"])
+    else:
+        lineage = store.read_lineage(spark)
+        stats = lineage.groupBy().sum("doc_count", "parse_failures", "rejected", "wall_ms").collect()[0]
     # Live table size from manifest bucket summaries (O(manifest)); legacy
     # tables without summaries pay one column-pruned scan.
     live = store.live_doc_count()
