@@ -84,6 +84,14 @@ PLAN_NOTES = [
      "Frozen-quantizer assignment: ZERO shuffles — 16 centroid distances + "
      "struct argmin evaluated per row inside one projection over the scan "
      "(centroids are literals, never a join side); scales embarrassingly."),
+    ("q47_ivf2_assignments",
+     "Two-level frozen-quantizer assignment: coarse argmin via a 4-row "
+     "broadcast join + map-side struct-min aggregate, then the fine stage "
+     "joins the 16-row fine-centroid table on the coarse key and takes a "
+     "second struct-min — at 10^12 vectors both centroid tables stay "
+     "DataFrames (zero driver state), the fine join is k2-rows-per-key and "
+     "skew-free, and the whole descent costs n*(k1+k2) distance folds "
+     "instead of flat n*k."),
     ("q24_chunking",
      "Sliding-window chunking: tokens materialize once, chunks slice INSIDE "
      "a transform and posexplode — ZERO shuffles, output-sized bytes "
