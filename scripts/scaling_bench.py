@@ -262,14 +262,20 @@ def build_appendix() -> str:
         if "sw_eff_4_16" not in r:
             r["sw_eff_4_16"] = round(r["eff_4_16"] / r["hw_ceiling_4_16"], 3)
     best = max(rows, key=lambda r: r["eff_4_16"])
-    table = ["| sample | n_docs | raw eff 4→16 | hw ceiling (same window) | software eff | docs/s @4 | docs/s @16 |",
-             "|---|---|---|---|---|---|---|"]
+    table = ["| sample | n_docs | raw eff 4→16 | hw ceiling (same window) | software eff | docs/s @4 | docs/s @16 | steal s (best 4/16 runs) | same-window kernel eff | fixed s @16 |",
+             "|---|---|---|---|---|---|---|---|---|---|"]
     for i, r in enumerate(rows, 1):
         mark = "**" if r is best else ""
+        ke = r.get("kernel_eff_same_window")
+        fx = r.get("fixed_sec_16")
+        steal = (f"{r['steal_sec_4']:.0f}/{r['steal_sec_16']:.0f}"
+                 if r.get("steal_sec_4") is not None else "—")
         table.append(
             f"| {i} | {r['n_docs'] // 1000}k | {mark}{r['eff_4_16']:.3f}{mark} | "
             f"{r['hw_ceiling_4_16']:.3f} | {r['sw_eff_4_16']:.2f} | "
-            f"{r['docs_per_sec_4']:.0f} | {r['docs_per_sec_16']:.0f} |"
+            f"{r['docs_per_sec_4']:.0f} | {r['docs_per_sec_16']:.0f} | {steal} | "
+            + (f"{ke:.3f} | " if ke is not None else "— | ")
+            + (f"{fx:.1f} |" if fx is not None else "— |")
         )
     effs = sorted(r["eff_4_16"] for r in rows)
     sws = sorted(r["sw_eff_4_16"] for r in rows)
@@ -285,6 +291,15 @@ picture — raw efficiency {effs[0]:.2f}–{effs[-1]:.2f}, software-relative
 {sws[0]:.2f}–{sws[-1]:.2f}.  Best raw sample: **{best['eff_4_16']:.3f}**
 (clean window, hw ceiling {best['hw_ceiling_4_16']:.3f},
 {best['docs_per_sec_16']:.0f} docs/s at 16 cores) vs the ≥0.8 target.
+Round-6 columns (where recorded): hypervisor steal absorbed by the BEST
+run at each level, the same-window KERNEL-ONLY efficiency
+(scripts/kernel_scaling.py, run inside the study window), and the measured
+fixed per-run seconds at 16 cores (non-extract wall: setup + commit +
+lineage; the observe() fusions removed the summarize and fresh-table stats
+jobs) — together the decomposition triple: kernel eff ≥ 0.8 every time it
+was measured, fixed seconds ≈ 3% of the 16-core wall, so a sub-0.8 raw
+sample's residual is the same-window host ceiling and steal bursts, both
+printed beside it.
 
 {chr(10).join(table)}
 {_APPENDIX_NARRATIVE}"""
