@@ -646,8 +646,21 @@ def q47_ivf2_assignments(spark, sf_dir):
     )
 
 
-def _oracle_q47() -> str:
-    from .ivf2_centroids import FROZEN2_COARSE, FROZEN2_FINE, FROZEN2_K2
+def _sql_dist(a: str, b: str) -> str:
+    """Squared-distance fold in DuckDB SQL — the sequential 64-element fold
+    twin of _sq_dist/_sq_dist_to_w (same order, same casts)."""
+    return (f"list_aggregate(list_transform(generate_series(1, {DIM}), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i])), 'sum')")
+
+
+def _sql_quantizer2_ctes() -> str:
+    """Shared frozen TWO-LEVEL quantizer SQL prefix (``cents1``/``cents2``/
+    ``s1``/``r1``/``s2``/``a2`` CTEs) — the _sql_quantizer_ctes pattern for
+    the hierarchy, composed by BOTH the q47 assignment oracle and the q48
+    search oracle so the two-stage argmin recipe cannot drift between them.
+    ``s1`` scores every vector against every coarse centroid (probe routing
+    reads it too), ``a2`` is the per-vector fine argmin."""
+    from .ivf2_centroids import FROZEN2_COARSE, FROZEN2_FINE
 
     v1 = ",\n".join(
         f"({j}, [{', '.join(repr(float(x)) for x in w)}]::DOUBLE[])"
@@ -655,34 +668,172 @@ def _oracle_q47() -> str:
     v2 = ",\n".join(
         f"({c}, {f}, [{', '.join(repr(float(x)) for x in w)}]::DOUBLE[])"
         for c, f, w in FROZEN2_FINE)
-
-    def dist(a: str, b: str) -> str:
-        return (f"list_aggregate(list_transform(generate_series(1, {DIM}), "
-                f"i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i])), 'sum')")
-
-    return f"""
-WITH cents1(c, w) AS (VALUES {v1}),
+    return f"""cents1(c, w) AS (VALUES {v1}),
 cents2(coarse, fine, w) AS (VALUES {v2}),
 s1 AS (
   SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.c AS c,
-         {dist('e.embedding', 'c.w')} AS d
+         {_sql_dist('e.embedding', 'c.w')} AS d
   FROM embeddings e CROSS JOIN cents1 c),
 r1 AS (
   SELECT vec_id, CAST(b.c AS INT) AS coarse
   FROM (SELECT vec_id, min({{'d': d, 'c': c}}) AS b FROM s1 GROUP BY vec_id)),
 s2 AS (
   SELECT r1.vec_id, r1.coarse, c2.fine AS fine,
-         {dist('e.embedding', 'c2.w')} AS d
+         {_sql_dist('e.embedding', 'c2.w')} AS d
   FROM r1
   JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = r1.vec_id
   JOIN cents2 c2 ON c2.coarse = r1.coarse),
 a2 AS (
   SELECT vec_id, max(coarse) AS coarse, min({{'d': d, 'c': fine}}) AS b
-  FROM s2 GROUP BY vec_id)
+  FROM s2 GROUP BY vec_id)"""
+
+
+def _oracle_q47() -> str:
+    from .ivf2_centroids import FROZEN2_K2
+
+    return f"""
+WITH {_sql_quantizer2_ctes()}
 SELECT vec_id,
        CAST(coarse AS BIGINT) * {FROZEN2_K2} + CAST(b.c AS BIGINT) AS cluster,
        CAST(FLOOR(b.d * 1000000) AS BIGINT) AS sq_dist_e6
 FROM a2
+"""
+
+
+# --- q48: two-level IVF ANN search (hierarchical descent) -------------------
+#
+# q45's routing evaluates every probe against the FULL centroid list — fine
+# at k = 16, impossible at rule-sized k ≈ 4·10⁹ (10^12 vectors): neither the
+# k·DIM literal expression nor the k-row broadcast survives (r6 verdict #1).
+# Hierarchical descent restores the two-level scaling law on the SEARCH side:
+#
+#   probe → nprobe₁ nearest COARSE cells        (k₁ distance folds)
+#         → nprobe₂ nearest FINE cells of those (nprobe₁·k₂ folds)
+#         → exact cosine top-k within those clusters only.
+#
+# Per-probe routing work is k₁ + nprobe₁·k₂ ≈ (1+nprobe₁)·√k vs flat k —
+# at 10^12 vectors ~10⁵ folds instead of 4·10⁹.  The coarse table broadcast
+# is ≤ 32 MB (√k); the fine level is never broadcast: the tiny coarse-route
+# set (N_QUERIES·nprobe₁ rows) broadcasts INTO the fine table and fine
+# centroids stream past it.  The final route table is N_QUERIES·nprobe₂
+# rows, so the candidate join stays a broadcast + partition-prune on
+# ``cluster`` (the vector table's physical partition key at 100 TB) exactly
+# like q45.  Tie-breaks are the flat rules at each level: coarse (d, c)
+# struct-order, fine (d, global-cluster-id).
+
+N_PROBE1 = 2  # coarse cells descended per probe (of k₁)
+N_PROBE2 = 4  # fine cells searched per probe (of the nprobe₁·k₂ descended)
+
+
+def ivf2_ann_topk(spark, sf_dir, quant: IVF2Quantizer, *,
+                  n_probe1: int = N_PROBE1, n_probe2: int = N_PROBE2):
+    """Hierarchical-descent ANN against an explicit two-level quantizer.
+    ``n_probe1 = k₁, n_probe2 = k₁·k₂`` degenerates to exhaustive search
+    (== q40 brute force), which is the exactness gate in
+    tests/test_ivf2_ann.py."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    assigned = assign_ivf_2level(emb, quant).select("vec_id", "embedding", "cluster")
+
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("probe_id"), "embedding")
+    rw1 = Window.partitionBy("probe_id").orderBy("d", "c")
+    croutes = (
+        probes.crossJoin(F.broadcast(quant.coarse))
+        .select("probe_id", "embedding", _sq_dist_to_w().alias("d"), "c")
+        .withColumn("rn", F.row_number().over(rw1))
+        .filter(F.col("rn") <= n_probe1)
+        .select("probe_id", "embedding", F.col("c").alias("pc"))
+    )
+    rw2 = Window.partitionBy("probe_id").orderBy("d", "cluster")
+    routes = (
+        quant.fine.join(F.broadcast(croutes), F.col("coarse") == F.col("pc"))
+        .select("probe_id", "embedding",
+                (F.col("coarse").cast("bigint") * quant.k2
+                 + F.col("fine")).alias("cluster"),
+                _sq_dist_to_w().alias("d"))
+        .withColumn("rn", F.row_number().over(rw2))
+        .filter(F.col("rn") <= n_probe2)
+        .select("probe_id", F.col("embedding").alias("pe"), "cluster")
+    )
+    cands = assigned.join(F.broadcast(routes), "cluster").select(
+        "probe_id", "pe", F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"))
+    sim = _dot(F.col("pe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    # As in q45, (probe_id, neighbor_id) cannot repeat: routes are DISTINCT
+    # global clusters and a vector lives in exactly one of them.
+    scored = cands.withColumn("sim_e6", F.floor(sim * 1_000_000).cast("bigint"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim_e6").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id",
+                F.col("rank").cast("bigint").alias("rank"), "sim_e6")
+    )
+
+
+def q48_ivf2_ann_topk(spark, sf_dir):
+    """Hierarchical-descent search against the FROZEN 4×4 quantizer — the
+    two-level twin of q45.  Routing, assignment and the cosine top-k are all
+    static functions of the input once the hierarchy is frozen, so the query
+    carries a full DuckDB oracle (the q45/q47 recipe); live-trained descent
+    stays available as ``ivf2_ann_topk(spark, sf_dir, train_ivf_2level(...))``
+    and is pytest-covered (tests/test_ivf2_ann.py: exhaustive-degenerate
+    parity vs q40 + recall)."""
+    return ivf2_ann_topk(spark, sf_dir, _frozen2_quantizer(spark))
+
+
+def _oracle_q48() -> str:
+    from .ivf2_centroids import FROZEN2_K2
+
+    dot = ("list_aggregate(list_transform(generate_series(1, {n}), "
+           "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')")
+    return f"""
+WITH {_sql_quantizer2_ctes()},
+asg AS (
+  SELECT vec_id,
+         CAST(coarse AS BIGINT) * {FROZEN2_K2} + CAST(b.c AS BIGINT) AS cluster
+  FROM a2),
+p1 AS (
+  SELECT vec_id AS probe_id, c AS coarse
+  FROM (SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM s1 WHERE vec_id < {N_QUERIES})
+  WHERE rn <= {N_PROBE1}),
+p2 AS (
+  SELECT probe_id, cluster FROM (
+    SELECT probe_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, cluster) AS rn
+    FROM (SELECT p1.probe_id,
+                 CAST(p1.coarse AS BIGINT) * {FROZEN2_K2}
+                   + CAST(c2.fine AS BIGINT) AS cluster,
+                 {_sql_dist('e.embedding', 'c2.w')} AS d
+          FROM p1
+          JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = p1.probe_id
+          JOIN cents2 c2 ON c2.coarse = p1.coarse))
+  WHERE rn <= {N_PROBE2}),
+cands AS (
+  SELECT p2.probe_id, a.vec_id AS neighbor_id
+  FROM p2 JOIN asg a ON a.cluster = p2.cluster),
+sims AS (
+  SELECT cd.probe_id, cd.neighbor_id,
+         CAST(FLOOR(({dot.format(n=DIM, a="p.embedding", b="e.embedding")})
+           / (sqrt({dot.format(n=DIM, a="p.embedding", b="p.embedding")})
+              * sqrt({dot.format(n=DIM, a="e.embedding", b="e.embedding")}))
+           * 1000000) AS BIGINT) AS sim_e6
+  FROM cands cd
+  JOIN embeddings p ON CAST(p.vec_id AS BIGINT) = cd.probe_id
+  JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = cd.neighbor_id)
+SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim_e6 FROM (
+  SELECT probe_id, neighbor_id, sim_e6,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY sim_e6 DESC, neighbor_id) AS rank
+  FROM sims)
+WHERE rank <= {TOP_K}
 """
 
 
@@ -760,14 +911,17 @@ QUERIES = {
     "q45_ivf_ann_topk": q45_ivf_ann_topk,
     "q46_ivf_cluster_pairs": q46_ivf_cluster_pairs,
     "q47_ivf2_assignments": q47_ivf2_assignments,
+    "q48_ivf2_ann_topk": q48_ivf2_ann_topk,
 }
 
-# All three IVF queries run against the frozen quantizer, so all three carry
-# full static DuckDB oracles; live training (iterative, FP-order sensitive)
-# is pytest-covered instead (tests/test_ivf_ann.py).
+# All IVF queries run against frozen quantizers, so all carry full static
+# DuckDB oracles; live training (iterative, FP-order sensitive) is
+# pytest-covered instead (tests/test_ivf_ann.py, test_ivf_2level.py,
+# test_ivf2_ann.py).
 ORACLES: dict[str, str] = {
     "q44_ivf_assignments": _oracle_q44(),
     "q45_ivf_ann_topk": _oracle_q45(),
     "q46_ivf_cluster_pairs": _oracle_q46(),
     "q47_ivf2_assignments": _oracle_q47(),
+    "q48_ivf2_ann_topk": _oracle_q48(),
 }
