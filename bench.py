@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q44_ivf_assignments",
     "q45_ivf_ann_topk",
     "q46_ivf_cluster_pairs",
+    "q47_ivf2_assignments",
+    "q48_ivf2_ann_topk",
     "q50_media_features",
     "q51_frame_sample",
     "q61_extract_html_docs",

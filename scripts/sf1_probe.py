@@ -88,6 +88,10 @@ def build_sf1() -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=",".join(PROBE_QUERIES))
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="runs per probe; reports min + all samples (the "
+                         "bench.py best-of rule — single-pass probes can't "
+                         "distinguish a slow host window from a regression)")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(DST, "embeddings.parquet")):
@@ -99,6 +103,7 @@ def main() -> None:
     spark = get_spark(None, app_name="sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
+    _quants: list = []  # persisted two-level quantizers across repeats
 
     def _lib_jaccard(spark, sf_dir):
         # The 100-TB jaccard path: FULL corpus, sampled-DF stop-shingle mode
@@ -135,22 +140,72 @@ def main() -> None:
         print(json.dumps({"q43_round_breakdown": tele}), flush=True)
         return labels
 
+    def _lib_ivf2_rule_sized(spark, sf_dir):
+        # r6 verdict #2: the two-level trainer at RULE-sized k — ivf_k_for
+        # (20k) = 79 → split 9x9 — runs the applyInPandas fine trainer and
+        # the join-form assignment (_assign_df + the fine coarse-key join)
+        # live at a k no driver query reaches (the frozen q47/q48 hierarchy
+        # is 4x4).  Wall includes train + full-table assignment.
+        from docling_service_spark.queries.ann import (
+            assign_ivf_2level,
+            train_ivf_2level,
+        )
+
+        if _quants:  # drop the previous repeat's persisted levels
+            _quants.pop().unpersist()
+        quant = train_ivf_2level(spark, sf_dir)
+        _quants.append(quant)
+        from docling_service_spark.queries.common import load
+        emb = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("bigint").alias("vec_id"), "embedding")
+        return assign_ivf_2level(emb, quant)
+
+    def _lib_flat_assign_join_switch(spark, sf_dir):
+        # Flat-path k > _MAX_EXPR_K (128): train at k=160 and assign via the
+        # broadcast-join form _assign switches to — the literal-expression
+        # plan would embed 160*64 doubles as plan nodes.  No probe ran this
+        # switch live before (driver queries pin k=16).
+        from docling_service_spark.queries.ann import (
+            _CENTROID_CACHE,
+            IVF_ITERS,
+            _assign,
+            train_ivf,
+        )
+        from docling_service_spark.queries.common import load
+
+        # train_ivf memoizes per (sf_dir, k, iters); bust it so every repeat
+        # times the full train+assign, not a cache hit.
+        _CENTROID_CACHE.pop((sf_dir, 160, IVF_ITERS), None)
+        cents = train_ivf(spark, sf_dir, k=160)
+        emb = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("bigint").alias("vec_id"), "embedding")
+        return _assign(emb, cents)
+
     from pyspark.sql import functions as F
 
-    probes = {name: QUERIES[name] for name in args.queries.split(",")}
+    lib = {"lib_jaccard_full_sampled_df": _lib_jaccard,
+           "lib_ivf2_rule_sized": _lib_ivf2_rule_sized,
+           "lib_flat_assign_join_switch": _lib_flat_assign_join_switch}
+    wanted = args.queries.split(",")
+    if args.queries == ",".join(PROBE_QUERIES):  # default = everything
+        wanted = PROBE_QUERIES + list(lib)
+    probes = {name: lib.get(name) or QUERIES[name] for name in wanted}
     if "q43_embedding_near_dup_keepers" in probes:
         probes["q43_embedding_near_dup_keepers"] = _q43_instrumented
-    probes["lib_jaccard_full_sampled_df"] = _lib_jaccard
     for name, fn in probes.items():
-        t0 = time.perf_counter()
-        try:
-            rows = fn(spark, DST).count()
-            results[name] = {"wall_sec": round(time.perf_counter() - t0, 2),
-                             "rows": rows, "err": None}
-        except Exception as exc:  # the probe's whole point: surface the class
-            results[name] = {"wall_sec": round(time.perf_counter() - t0, 2),
-                             "rows": None,
-                             "err": f"{type(exc).__name__}: {str(exc)[:400]}"}
+        walls, rows, err = [], None, None
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            try:
+                rows = fn(spark, DST).count()
+                walls.append(round(time.perf_counter() - t0, 2))
+            except Exception as exc:  # the probe's whole point: surface the class
+                walls.append(round(time.perf_counter() - t0, 2))
+                err = f"{type(exc).__name__}: {str(exc)[:400]}"
+                break
+        results[name] = {"wall_sec": min(walls), "rows": rows, "err": err}
+        if len(walls) > 1:
+            results[name]["samples"] = walls
         print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps({"sf1_probe": results}))
     spark.stop()
