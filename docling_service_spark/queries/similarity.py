@@ -251,9 +251,35 @@ NEAR_DUP_SIM_E6 = 350_000  # cosine >= 0.35 (synthetic vectors are near-orthogon
 
 MAX_CC_ROUNDS = 30  # sf1's worst chain used 20 — headroom without masking divergence
 # Measured (r6, sf1): chained eager localCheckpoints degrade past ~15 rounds
-# (per-round wall doubles; see connected_components docstring) — local-mode
-# loops switch to a scratch-dir spill beyond this.
+# (per-round wall doubles; see connected_components docstring) — loops switch
+# to a spill beyond this many label-propagation rounds (edge pin excluded, so
+# the switch trips on the 13th materialization counting it).
 _LOCAL_CK_SAFE_ROUNDS = 12
+
+
+def _is_local_master(sc) -> bool:
+    return sc.master.startswith("local")
+
+
+def _derive_cluster_spill_dir(spark) -> str | None:
+    """Shared-filesystem spill dir for the long-loop guard on cluster
+    masters.  ``spark.docling.cc.checkpointDir`` wins when set (any scheme —
+    the operator said so); otherwise ``spark.sql.warehouse.dir`` qualifies
+    only with a non-``file:`` scheme, because a driver-local path is not
+    writable by executors on a real cluster.  Returns a unique subdirectory
+    (concurrent CC loops must not prune each other's steps) or None."""
+    import uuid
+
+    explicit = spark.conf.get("spark.docling.cc.checkpointDir", None)
+    base = explicit
+    if base is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir", None) or ""
+        scheme = wh.split("://", 1)[0] if "://" in wh else "file"
+        if scheme != "file":
+            base = wh
+    if not base:
+        return None
+    return f"{base.rstrip('/')}/_cc_spill/{uuid.uuid4().hex}"
 
 
 def q43_embedding_near_dup_keepers(spark, sf_dir):
@@ -324,18 +350,22 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     in one loop, the checkpoint call's wall DOUBLES per round (sf1: rounds
     17-20 measured 2.5/3.9/7.9/19.9 s on constant-size data, exactly
     reproducible; the parquet-spill path stays flat at ~1.7 s/round, and
-    JVM System.gc() does not help).  Local-mode runs therefore auto-switch
-    to a Spark-scratch-dir spill after ``_LOCAL_CK_SAFE_ROUNDS`` rounds —
-    same mechanics as ``checkpoint_dir``, directory reclaimed at session
-    stop.  Cluster masters can't use a driver tempdir, so they keep
-    localCheckpoint and warn (deep-diameter cluster runs should pass
-    ``checkpoint_dir``, which is also the executor-loss-tolerant path).
+    JVM System.gc() does not help).  All runs therefore auto-switch to a
+    spill after ``_LOCAL_CK_SAFE_ROUNDS`` label-propagation rounds (the
+    edge pin is not counted — the switch trips on the 13th materialization
+    including it): local masters spill under Spark's own scratch dir
+    (reclaimed at session stop); cluster masters derive a shared-filesystem
+    spill dir from ``spark.docling.cc.checkpointDir`` or, failing that, a
+    non-``file:`` ``spark.sql.warehouse.dir`` (r6 verdict #6 — a
+    deep-diameter cluster run must not hit the measured cliff just because
+    the caller ignored a warning).  Only when neither yields a usable
+    cluster path does the loop stay on localCheckpoint, warning ONCE.
     """
     import time as _time
     _step = [0]
-    _state = {"ckdir": checkpoint_dir, "n_local": 0}
+    _state = {"ckdir": checkpoint_dir, "n_local": 0, "warned": False}
 
-    def _materialize(df):
+    def _materialize(df, *, pin: bool = False):
         # Sets ``_state["spilled"]``: True when the materializing action was
         # the parquet write (which fulfills any Observation attached to
         # ``df`` — the convergence count rides it, one less job per round);
@@ -343,26 +373,35 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
         # the listener, so the caller keeps the explicit aggregate there.
         _state["spilled"] = False
         if _state["ckdir"] is None:
-            _state["n_local"] += 1
+            if not pin:
+                _state["n_local"] += 1
             if _state["n_local"] <= _LOCAL_CK_SAFE_ROUNDS:
                 return df.localCheckpoint(eager=True)
             sc = df.sparkSession.sparkContext
-            if not sc.master.startswith("local"):
-                import warnings
+            if _is_local_master(sc):
+                # Spill under Spark's own scratch dir (reclaimed at session
+                # stop — the final labels DF stays backed by the last step
+                # file until then).
+                import tempfile
 
-                warnings.warn(
-                    f"connected_components passed {_LOCAL_CK_SAFE_ROUNDS} rounds "
-                    "on the localCheckpoint path; per-round wall degrades past "
-                    "this point (see docstring) — pass checkpoint_dir= on "
-                    "cluster masters", stacklevel=2)
-                return df.localCheckpoint(eager=True)
-            # Local master: spill under Spark's own scratch dir (reclaimed
-            # at session stop — the final labels DF stays backed by the last
-            # step file until then).
-            import tempfile
+                _state["ckdir"] = tempfile.mkdtemp(
+                    prefix="cc-spill-", dir=sc._temp_dir)
+            else:
+                derived = _derive_cluster_spill_dir(df.sparkSession)
+                if derived is None:
+                    if not _state["warned"]:
+                        _state["warned"] = True
+                        import warnings
 
-            _state["ckdir"] = tempfile.mkdtemp(
-                prefix="cc-spill-", dir=sc._temp_dir)
+                        warnings.warn(
+                            f"connected_components passed {_LOCAL_CK_SAFE_ROUNDS} "
+                            "rounds on the localCheckpoint path; per-round wall "
+                            "degrades past this point (see docstring) and no "
+                            "shared-FS spill dir could be derived — pass "
+                            "checkpoint_dir= or set spark.docling.cc.checkpointDir",
+                            stacklevel=2)
+                    return df.localCheckpoint(eager=True)
+                _state["ckdir"] = derived
         _step[0] += 1
         _state["spilled"] = True
         path = f"{_state['ckdir']}/step-{_step[0]:03d}"
@@ -386,7 +425,8 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     _t0 = _time.perf_counter()
     edges = _materialize(
         pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer"))
-        .unionByName(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer")))
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer"))),
+        pin=True,  # the edge pin doesn't count toward the round-loop guard
     )  # pin the edge set; the pair query never re-runs
     if telemetry is not None:
         telemetry["edge_pin_sec"] = round(_time.perf_counter() - _t0, 3)

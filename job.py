@@ -207,17 +207,13 @@ def main(argv=None) -> int:
     merge_prepared = summary.pop("prepared_deduped", None)
 
     store = SnapshotStore(args.output)
-    manifest = store.current_manifest()
-    run_stats = summary.get("run_stats")
-    if (run_stats is not None and manifest
-            and manifest.get("lineage_runs") == [summary["run_id"]]):
-        # Fresh table, single lineage run: the totals already rode the
-        # extraction write as observe metrics — no post-run scan job.
-        stats = (run_stats["docs"], run_stats["parse_failures"],
-                 run_stats["rejected"], run_stats["wall_ms"])
-    else:
-        lineage = store.read_lineage(spark)
-        stats = lineage.groupBy().sum("doc_count", "parse_failures", "rejected", "wall_ms").collect()[0]
+    # Work totals come from the manifest's lifetime_stats (accumulated at
+    # commit time from each run's observe metrics, carried rows excluded) —
+    # zero jobs on ANY path (fresh, incremental, merge); only tables with
+    # commits predating lifetime_stats pay the lineage aggregate fallback.
+    totals = store.lifetime_totals(spark)
+    stats = (totals["docs"], totals["parse_failures"],
+             totals["rejected"], totals["wall_ms"])
     # Live table size from manifest bucket summaries (O(manifest)); legacy
     # tables without summaries pay one column-pruned scan.
     live = store.live_doc_count()

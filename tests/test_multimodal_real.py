@@ -3,7 +3,15 @@ decode/frame-sample implementations must run through the exact q50/q51
 mapInPandas plumbing with the same output schema and empty-payload filter
 semantics as the stubs.  In containers without PIL these skip cleanly — the
 point is that the swap-in is executable, not stubbed, the day the image
-ships with the library."""
+ships with the library.
+
+Execution status (r6 verdict #7): this file has NOT yet run anywhere with
+Pillow present — the build container has no PIL and package installation is
+disallowed in the sandbox (no network, frozen environment), so the skip is
+the only observable outcome to date.  The PIL-dependent assertions were
+desk-checked against Pillow 10.x API docs (Image.open on BytesIO, .size,
+.convert, .resize); first CI environment with Pillow should drop this note
+after a green run."""
 
 from __future__ import annotations
 
