@@ -92,6 +92,15 @@ PLAN_NOTES = [
      "DataFrames (zero driver state), the fine join is k2-rows-per-key and "
      "skew-free, and the whole descent costs n*(k1+k2) distance folds "
      "instead of flat n*k."),
+    ("q48_ivf2_ann_topk",
+     "Hierarchical-descent ANN: probes take nprobe1 nearest of the 4-row "
+     "broadcast COARSE table, the tiny coarse-route set then broadcasts "
+     "INTO the fine table (the fine level itself is never broadcast — at "
+     "rule-sized k it is sqrt(k) rows per coarse cell), and the final "
+     "nprobe2-cluster route table broadcasts into the assigned vectors — "
+     "a partition-prune on cluster at 100 TB.  Per-probe routing work is "
+     "k1 + nprobe1*k2 ~ (1+nprobe1)*sqrt(k) distance folds vs q45's flat "
+     "k; exact cosine top-k runs only within routed clusters."),
     ("q24_chunking",
      "Sliding-window chunking: tokens materialize once, chunks slice INSIDE "
      "a transform and posexplode — ZERO shuffles, output-sized bytes "
