@@ -164,6 +164,32 @@ def test_bucket_pivot_cap_falls_back_to_summary_scan(spark, tmp_path, monkeypatc
     assert r["snapshot_id"] is None and r["buckets"] == []
 
 
+def test_bucket_wholesale_upsert_rebooks_reprocessed_work(spark, tmp_path):
+    """run_upsert rewrites dirty buckets WHOLESALE — every re-extracted doc
+    is real work and must be re-booked (lineage does), so lifetime totals
+    exceed the live doc count after an update wave and stay lineage-equal."""
+    root = str(tmp_path / "table")
+    docs = make_corpus(N_DOCS)
+    run_incremental(spark, spark.createDataFrame(docs, INPUT_SCHEMA), root,
+                    n_buckets=N_BUCKETS, num_partitions=2, run_id="base")
+
+    v2 = [dict(d) for d in docs]
+    v2[0] = {"doc_id": v2[0]["doc_id"],
+             "spans": [{"kind": "text_block", "text": "fully rewritten",
+                        "media_ref": "1,72,100,400,16,TOPLEFT,text",
+                        "offset": 0}]}
+    s = run_upsert(spark, spark.createDataFrame(v2, INPUT_SCHEMA), root,
+                   n_buckets=N_BUCKETS, num_partitions=2, run_id="wave2")
+    assert s["snapshot_id"] == 2 and len(s["buckets"]) >= 1
+
+    store = SnapshotStore(root)
+    ls = store.current_manifest()["lifetime_stats"]
+    assert ls == _lineage_totals(spark, store)
+    # N_DOCS initial + every doc in the rewritten dirty buckets re-booked.
+    assert ls["docs"] == N_DOCS + s["docs"]
+    assert store.live_doc_count() == N_DOCS
+
+
 def test_compaction_carries_lifetime_forward_unchanged(spark, tmp_path):
     root = str(tmp_path / "table")
     inp = corpus_df(spark, N_DOCS, partitions=4)
