@@ -241,6 +241,13 @@ class SnapshotStore:
         if not runs:
             df = spark.createDataFrame([], INSTRUMENTED_DDL)
             return df if instrumented else strip_instrumentation(df)
+        df = self._read_runs(spark, runs)
+        return df if instrumented else strip_instrumentation(df)
+
+    def _read_runs(self, spark: SparkSession, runs: dict[str, list[int]]) -> DataFrame:
+        """Instrumented union over a SUBSET of run dirs, each filtered to its
+        live buckets (the read_output pattern; also the binpack-compaction
+        source, which must scan only the runs being merged)."""
         parts = []
         for run_id, buckets in sorted(runs.items()):
             df = spark.read.schema(INSTRUMENTED_DDL).parquet(
@@ -250,7 +257,7 @@ class SnapshotStore:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df if instrumented else strip_instrumentation(df)
+        return df
 
     def read_docs(self, spark: SparkSession, doc_ids: list[str],
                   *, instrumented: bool = False) -> DataFrame:
@@ -414,12 +421,22 @@ def compact(
     max_live_runs: int = 1,
     run_id: Optional[str] = None,
     on_complete=None,
+    scope: str = "table",
 ) -> dict:
     """Rewrite live fragmentation: when the current snapshot's buckets
     scatter across more than ``max_live_runs`` run dirs, materialize every
     live row into ONE new run dir and commit a manifest remapping all
     buckets to it (Iceberg's ``rewrite_data_files`` shape; reference analog:
     the retention/eviction maintenance family, app/storage_cleanup.py:12-53).
+
+    ``scope="smallest"`` is the 100-TB variant (binpack): instead of an
+    O(table) full rewrite, keep the ``max_live_runs - 1`` runs holding the
+    MOST live docs untouched and merge only the remaining small runs into
+    one new dir — the table lands at exactly ``max_live_runs`` run dirs for
+    the cost of rewriting the fragmented tail (Iceberg's binpack with a
+    file-filter).  Per-run sizes come from manifest bucket summaries
+    (O(manifest)); runs missing summaries rank by live-bucket count.  At
+    ``max_live_runs=1`` the scopes coincide.
 
     Why it matters: upserts/merges are bucket-level copy-on-write — each run
     adds a ``data/run={id}`` dir and a long-lived table's read file-list
@@ -441,9 +458,12 @@ def compact(
     Returns ``{"run_id", "snapshot_id", "buckets", "docs", "runs_before",
     "runs_after"}``; ``snapshot_id`` None = no-op (fragmentation within
     budget or empty table)."""
+    if scope not in ("table", "smallest"):
+        raise ValueError(f"compact scope must be 'table' or 'smallest', got {scope!r}")
     store = SnapshotStore(root)
     m = store.current_manifest()
-    live_runs = sorted(set((m or {}).get("buckets", {}).values()))
+    runs_to_buckets = store._runs_to_buckets()
+    live_runs = sorted(runs_to_buckets)
     run_id = run_id or uuid.uuid4().hex[:12]
     if m is None or len(live_runs) <= max_live_runs:
         summary = {"run_id": run_id, "snapshot_id": None, "buckets": [], "docs": 0,
@@ -451,18 +471,35 @@ def compact(
         notify_completion(on_complete, {**summary, "status": "noop", "detail": None})
         return summary
     expected_parent = m["snapshot_id"]
-    buckets = sorted(int(b) for b in m["buckets"])
+    all_sums = dict(m.get("bucket_sums") or {})
+    if scope == "smallest" and max_live_runs > 1:
+        # Rank runs by live doc count (manifest-only; bucket count when a
+        # summary is missing ranks the run LAST so legacy runs get merged
+        # and their summaries upgraded).  Keep the biggest, merge the rest.
+        def _run_docs(r: str):
+            bs = runs_to_buckets[r]
+            known = [int(all_sums[str(b)][0]) for b in bs
+                     if len(all_sums.get(str(b)) or []) == len(_EMPTY_SUM)]
+            return (len(known) == len(bs), sum(known), len(bs))
+
+        ranked = sorted(live_runs, key=_run_docs, reverse=True)
+        merge_runs = {r: runs_to_buckets[r] for r in ranked[max_live_runs - 1:]}
+        runs_after = max_live_runs
+    else:
+        merge_runs = dict(runs_to_buckets)
+        runs_after = 1
+    buckets = sorted(b for bs in merge_runs.values() for b in bs)
     try:
-        out = store.read_output(spark, instrumented=True)
+        out = store._read_runs(spark, merge_runs)
         data_dir = os.path.join(root, "data", f"run={run_id}")
         out.write.parquet(data_dir, mode="overwrite")
         # Summaries: content is unchanged, so the parent's sums are exact —
-        # carried forward without a scan.  Buckets missing one (pre-s2
-        # manifests) are recomputed from the rewritten files in one pruned
-        # aggregate, upgrading the table's metadata as a side effect.
-        sums = dict(m.get("bucket_sums") or {})
-        missing = [b for b in m["buckets"]
-                   if len(sums.get(b) or []) != len(_EMPTY_SUM)]
+        # carried forward without a scan.  Rewritten buckets missing one
+        # (pre-s2 manifests) are recomputed from the rewritten files in one
+        # pruned aggregate, upgrading the table's metadata as a side effect.
+        sums = {str(b): all_sums[str(b)] for b in buckets
+                if len(all_sums.get(str(b)) or []) == len(_EMPTY_SUM)}
+        missing = [str(b) for b in buckets if str(b) not in sums]
         if missing:
             written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
             fresh = _bucket_summaries(
@@ -482,7 +519,8 @@ def compact(
         raise
     docs = sum(int(sums[str(b)][0]) for b in buckets)
     summary = {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets,
-               "docs": docs, "runs_before": len(live_runs), "runs_after": 1}
+               "docs": docs, "runs_before": len(live_runs),
+               "runs_after": runs_after}
     notify_completion(on_complete, {**summary, "status": "completed", "detail": None})
     return summary
 

@@ -120,6 +120,13 @@ def main(argv=None) -> int:
     ap.add_argument("--compact-max-runs", type=int, default=4,
                     help="fragmentation budget for --compact: live run-dir "
                          "count that triggers a rewrite (default 4)")
+    ap.add_argument("--compact-scope", choices=["table", "smallest"],
+                    default="smallest",
+                    help="'smallest' (default) merges only the small "
+                         "fragmented runs so the table lands at "
+                         "--compact-max-runs dirs (binpack — O(tail) "
+                         "rewrite); 'table' rewrites everything into one "
+                         "dir (O(table))")
     ap.add_argument("--vacuum-keep", type=int, default=None, metavar="N",
                     help="after the run, vacuum the table: keep the last N "
                          "manifests, delete orphan run dirs older than "
@@ -248,7 +255,7 @@ def main(argv=None) -> int:
         from docling_service_spark.sparkio.checkpoint import compact
 
         c = compact(spark, args.output, max_live_runs=args.compact_max_runs,
-                    on_complete=on_complete)
+                    scope=args.compact_scope, on_complete=on_complete)
         report["compact"] = {k: c[k] for k in
                              ("snapshot_id", "runs_before", "runs_after")}
     if args.vacuum_keep is not None:

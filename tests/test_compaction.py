@@ -136,6 +136,59 @@ def test_compact_vacuum_lifecycle_reclaims_superseded_dirs(spark, tmp_path):
     assert len(one) == 1 and one[0]["doc_id"] == corpus[5]["doc_id"]
 
 
+def test_compact_smallest_scope_merges_only_the_fragmented_tail(spark, tmp_path):
+    """Binpack scope (the 100-TB variant): keep the max_live_runs-1 biggest
+    runs PHYSICALLY untouched, merge only the small fragmented runs — an
+    O(tail) rewrite instead of O(table)."""
+    root = str(tmp_path / "table")
+    corpus = make_corpus(40)
+    run_incremental(spark, spark.createDataFrame(corpus, INPUT_SCHEMA), root,
+                    n_buckets=N_BUCKETS, num_partitions=2, run_id="base")
+    for wave in range(10):
+        batch = [_mutate(corpus[(3 * wave + j) % 40], f"w{wave}") for j in range(3)]
+        run_merge_upsert(spark, spark.createDataFrame(batch, INPUT_SCHEMA),
+                         root, n_buckets=N_BUCKETS, run_id=f"m{wave}")
+    store = SnapshotStore(root)
+    before = _snapshot_rows(spark, store)
+    m = store.current_manifest()
+    runs_before = sorted(set(m["buckets"].values()))
+    assert len(runs_before) > 3, "need fragmentation beyond the budget"
+
+    def _docs_of(run):
+        return sum(int(m["bucket_sums"][b][0])
+                   for b, r in m["buckets"].items() if r == run)
+
+    expect_kept = sorted(runs_before, key=lambda r: (_docs_of(r), r))[-2:]
+    kept_files_before = {
+        r: sorted(glob.glob(os.path.join(root, "data", f"run={r}", "*")))
+        for r in expect_kept}
+
+    r = compact(spark, root, max_live_runs=3, scope="smallest", run_id="bp")
+    assert r["runs_before"] == len(runs_before) and r["runs_after"] == 3
+    live = set(store.committed_buckets().values())
+    assert live == set(expect_kept) | {"bp"}
+    # The kept (biggest) runs were not rewritten — same physical files.
+    for run, files in kept_files_before.items():
+        assert sorted(glob.glob(os.path.join(
+            root, "data", f"run={run}", "*"))) == files
+    # Only the tail's docs were materialized.
+    assert r["docs"] == 40 - sum(_docs_of(k) for k in expect_kept)
+    assert r["docs"] < 40
+
+    # Byte-identical reads, O(manifest) count, lifetime totals untouched.
+    assert _snapshot_rows(spark, store) == before
+    assert store.live_doc_count() == 40
+    assert store.current_manifest()["lifetime_stats"] == m["lifetime_stats"]
+
+    # Within budget now: another binpack is a no-op; a FULL compact still
+    # collapses to one dir and stays byte-identical.
+    r2 = compact(spark, root, max_live_runs=3, scope="smallest", run_id="bp2")
+    assert r2["snapshot_id"] is None and r2["runs_before"] == 3
+    r3 = compact(spark, root, max_live_runs=1, scope="smallest", run_id="full")
+    assert r3["runs_after"] == 1
+    assert _snapshot_rows(spark, store) == before
+
+
 def test_compact_respects_budget_and_empty_table(spark, tmp_path):
     root = str(tmp_path / "table")
     assert compact(spark, root, run_id="c0")["snapshot_id"] is None  # empty
