@@ -17,6 +17,16 @@ reports the MIN; each query runs QUERY_RUNS=2 times and reports the MIN.
 All samples are recorded in the ``samples`` extra for post-hoc variance
 checks.
 
+Window telemetry (round-8, r7 verdict #1): BENCH_r07 ran in memory-contended
+host windows (-17% headline, +19-36% on untouched queries) and carried no
+provenance to prove it was host noise.  The bench now (a) GATES on the
+window-watcher's own probe — hypervisor steal + ALU/DRAM busy-loop
+calibrations — waiting a bounded number of probes for a clean window before
+starting (SPARK_GRAFT_BENCH_GATE_PROBES=0 disables), and (b) stamps the
+report with the pre/post probe readings and the /proc/stat steal absorbed
+during the headline section and the whole bench, so every BENCH_rN.json
+carries the evidence to adjudicate its own round-over-round swings.
+
 Reference baseline (BASELINE.md): 0.07-0.125 docs/sec single-stream CPU.
 """
 
@@ -24,7 +34,12 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+from scaling_bench import _steal_jiffies  # noqa: E402
+from window_watch import probe as window_probe  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -34,6 +49,36 @@ N_DOCS = max(600, int(60000 * SF))
 
 HEADLINE_RUNS = 3
 QUERY_RUNS = 2
+
+# Pre-bench window gate (r7 verdict #1): same thresholds as the scaling
+# watcher.  Bounded — the per-round driver must never stall on a bad hour,
+# so after GATE_PROBES dirty probes the bench proceeds and the stamped
+# readings say so.
+GATE_PROBES = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_PROBES", "6"))
+GATE_SLEEP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_SLEEP", "45"))
+CPU_GATE, MEM_GATE, STEAL_GATE = 0.90, 0.80, 1.5
+
+
+def _probe_clean(p: dict) -> bool:
+    return (p["cpu_ceiling"] >= CPU_GATE and p["mem_ceiling"] >= MEM_GATE
+            and p["steal_sec"] <= STEAL_GATE)
+
+
+def wait_for_window() -> dict:
+    """Probe until clean or the probe budget runs out; returns the window
+    record to stamp into the report (all probes kept — a decaying window is
+    diagnosable only if the misses are visible)."""
+    probes = []
+    for i in range(max(1, GATE_PROBES)):
+        p = window_probe()
+        p["clean"] = _probe_clean(p)
+        probes.append(p)
+        if p["clean"] or GATE_PROBES == 0:
+            break
+        if i < GATE_PROBES - 1:
+            time.sleep(GATE_SLEEP_SEC)
+    return {"pre_probes": probes, "gated_clean": probes[-1]["clean"],
+            "probes_waited": len(probes) - 1}
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -78,6 +123,9 @@ def main() -> None:
     from docling_service_spark.sparkio.pipeline import derive_lineage, run_extraction
     from docling_service_spark.sparkio.session import get_spark
 
+    window = wait_for_window()
+    steal_bench0 = _steal_jiffies()
+
     spark = get_spark(f"local[{CPUS}]", app_name="dss-bench", shuffle_partitions=CPUS * 2)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,11 +161,13 @@ def main() -> None:
     # Headline: extraction throughput (no-shuffle fast path: generator/scan
     # splits are the partitioner; see sparkio/pipeline.py).  Best of
     # HEADLINE_RUNS full passes.
+    steal_head0 = _steal_jiffies()
     extract_sec = best_of(
         "extraction_pipeline",
         lambda: materialize(run_extraction(corpus_df(spark, N_DOCS, partitions=CPUS * 4))),
         HEADLINE_RUNS,
     )
+    steal_sec_headline = round((_steal_jiffies() - steal_head0) / 100.0, 1)
 
     # Python-stage wall (classify-stage dominance evidence): sum of per-batch
     # extractor wall time vs end-to-end wall — BOTH measured on this same
@@ -184,6 +234,12 @@ def main() -> None:
     finally:
         shutil.rmtree(skew_dir, ignore_errors=True)
 
+    window["steal_sec_headline"] = steal_sec_headline
+    window["steal_sec_total"] = round((_steal_jiffies() - steal_bench0) / 100.0, 1)
+    post = window_probe()
+    post["clean"] = _probe_clean(post)
+    window["post_probe"] = post
+
     docs_per_sec = N_DOCS / extract_sec
     print(json.dumps({
         "metric": "extraction_docs_per_sec",
@@ -206,6 +262,7 @@ def main() -> None:
                      "classify_share_runs": 1},
         "samples": samples,
         "sample_outliers": sample_outliers,
+        "window": window,
     }))
     spark.stop()
 

@@ -191,12 +191,24 @@ def training_sample(emb, n_vecs: int, target: int = TRAIN_SAMPLE_TARGET):
     return emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_SAMPLE_MOD)) < threshold)
 
 
+_LARGE_K_WARNED = [False]
+
+
 def train_ivf(spark, sf_dir, *, k: int | None = IVF_K,
               iters: int = IVF_ITERS) -> list[list[float]]:
     """Lloyd's k-means; returns the centroid list.  Deterministic: init =
     the k lowest vec_ids, fixed iteration count, per-dimension avg() — which
     also makes memoizing per (sf_dir, k, iters) safe: a q44+q45 sweep trains
     once instead of paying the iteration jobs twice.
+
+    **Above ``_MAX_EXPR_K`` the flat path is the documented-worse choice**
+    (r7 sf1 measurement: flat k=160 through the join-switch assignment took
+    308.6 s where ``train_ivf_2level`` + ``assign_ivf_2level`` at comparable
+    product k took 39.8 s — ~8×; BENCH/SF1_PROBE.md): past the literal-
+    expression ceiling every distance is a join-side fold of all k
+    centroids, while the hierarchy folds only k₁+k₂ ≈ 2√k.  A one-shot
+    runtime warning points callers at the two-level trainer; the flat path
+    stays fully supported as the parity baseline and for k ≤ _MAX_EXPR_K.
 
     ``k=None`` sizes the quantizer by the occupancy rule ``ivf_k_for(n)``.
     The default stays pinned at IVF_K so the shipped frozen quantizer
@@ -223,6 +235,17 @@ def train_ivf(spark, sf_dir, *, k: int | None = IVF_K,
     n_vecs = emb.count()
     if k is None:
         k = ivf_k_for(n_vecs)
+    if k > _MAX_EXPR_K and not _LARGE_K_WARNED[0]:
+        _LARGE_K_WARNED[0] = True
+        import warnings
+
+        warnings.warn(
+            f"train_ivf at k={k} > _MAX_EXPR_K={_MAX_EXPR_K}: the flat path "
+            "measured ~8x slower than the two-level hierarchy at this scale "
+            "(sf1: 308.6 s vs 39.8 s; BENCH/SF1_PROBE.md) and holds all k "
+            "centroids on the driver — prefer train_ivf_2level / "
+            "assign_ivf_2level unless you need the flat parity baseline",
+            stacklevel=2)
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     centroids = [[float(x) for x in r["embedding"]] for r in init]
 

@@ -344,7 +344,25 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     ``round_walls_sec`` (driver wall per round, materialize + convergence
     aggregate included), ``edge_pin_sec``, and ``changed_per_round`` — the
     r5 verdict #3 instrument for separating per-round fixed job latency
-    from data-volume cost in scale probes.
+    from data-volume cost in scale probes.  When any spill engages it also
+    records ``spill_dir`` + ``spill_dir_source`` ("caller" | "local-scratch"
+    | "derived") and, for the non-caller sources, ``spill_dir_reclaimed``.
+
+    Spill-dir ownership (advice r7 — the derived dir must not leak): a
+    CALLER-passed ``checkpoint_dir`` stays caller-owned — the returned
+    labels are backed by its final step file, which is exactly the
+    executor-loss tolerance the caller asked for, so this function never
+    deletes it (edge pin + final step remain; delete after consuming the
+    labels).  AUTO spill dirs (local scratch, or the cluster dir derived
+    from ``spark.docling.cc.checkpointDir`` / a non-``file:`` warehouse
+    dir) are internal cliff-avoidance with no caller contract: before
+    returning, the final labels are re-pinned with ONE ``localCheckpoint``
+    (a single call — the measured cliff is per-chain, not per-call) and
+    the whole dir is deleted through the same Hadoop FileSystem that wrote
+    it, on success and failure alike.  Only a driver crash mid-loop can
+    strand one; crashed-run leftovers are always under a ``_cc_spill/``
+    parent, so a periodic sweep of ``{base}/_cc_spill`` is safe — any live
+    loop's subdir is younger than the loop's own wall.
 
     Long-loop guard (measured, r6): past ~15 chained eager localCheckpoints
     in one loop, the checkpoint call's wall DOUBLES per round (sf1: rounds
@@ -353,17 +371,43 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     JVM System.gc() does not help).  All runs therefore auto-switch to a
     spill after ``_LOCAL_CK_SAFE_ROUNDS`` label-propagation rounds (the
     edge pin is not counted — the switch trips on the 13th materialization
-    including it): local masters spill under Spark's own scratch dir
-    (reclaimed at session stop); cluster masters derive a shared-filesystem
-    spill dir from ``spark.docling.cc.checkpointDir`` or, failing that, a
-    non-``file:`` ``spark.sql.warehouse.dir`` (r6 verdict #6 — a
-    deep-diameter cluster run must not hit the measured cliff just because
-    the caller ignored a warning).  Only when neither yields a usable
-    cluster path does the loop stay on localCheckpoint, warning ONCE.
+    including it): local masters spill under Spark's own scratch dir;
+    cluster masters derive a shared-filesystem spill dir from
+    ``spark.docling.cc.checkpointDir`` or, failing that, a non-``file:``
+    ``spark.sql.warehouse.dir`` (r6 verdict #6 — a deep-diameter cluster
+    run must not hit the measured cliff just because the caller ignored a
+    warning).  Both auto dirs are reclaimed before returning (see the
+    ownership paragraph above).  Only when neither yields a usable cluster
+    path does the loop stay on localCheckpoint, warning ONCE.
     """
     import time as _time
     _step = [0]
-    _state = {"ckdir": checkpoint_dir, "n_local": 0, "warned": False}
+    _state = {"ckdir": checkpoint_dir, "n_local": 0, "warned": False,
+              # pin_step: which spilled step (if any) is the edge pin — only
+              # that step is exempt from pruning.  Hardcoding step-001 kept a
+              # superseded labels file forever when the long-loop guard
+              # tripped MID-loop (edge pin was localCheckpointed, so step-001
+              # is a labels round; advice r7).
+              "pin_step": None,
+              # auto_spill: the dir was derived internally (scratch/cluster)
+              # rather than caller-passed — reclaimed before returning.
+              "auto_spill": checkpoint_dir is None}
+
+    def _note_spill_dir(source: str) -> None:
+        if telemetry is not None:
+            telemetry.setdefault("spill_dir", _state["ckdir"])
+            telemetry.setdefault("spill_dir_source", source)
+
+    def _reclaim_auto_spill(sc) -> None:
+        if not (_state["auto_spill"] and _state["ckdir"] and _step[0]):
+            return
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(_state["ckdir"])
+        jpath.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jpath, True)
+        if telemetry is not None:
+            telemetry["spill_dir_reclaimed"] = True
+
+    if checkpoint_dir is not None:
+        _note_spill_dir("caller")
 
     def _materialize(df, *, pin: bool = False):
         # Sets ``_state["spilled"]``: True when the materializing action was
@@ -379,13 +423,14 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
                 return df.localCheckpoint(eager=True)
             sc = df.sparkSession.sparkContext
             if _is_local_master(sc):
-                # Spill under Spark's own scratch dir (reclaimed at session
-                # stop — the final labels DF stays backed by the last step
-                # file until then).
+                # Spill under Spark's own scratch dir (reclaimed at return
+                # after the final labels are re-pinned; session stop would
+                # sweep a crashed run's leftovers anyway).
                 import tempfile
 
                 _state["ckdir"] = tempfile.mkdtemp(
                     prefix="cc-spill-", dir=sc._temp_dir)
+                _note_spill_dir("local-scratch")
             else:
                 derived = _derive_cluster_spill_dir(df.sparkSession)
                 if derived is None:
@@ -402,20 +447,26 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
                             stacklevel=2)
                     return df.localCheckpoint(eager=True)
                 _state["ckdir"] = derived
+                _note_spill_dir("derived")
         _step[0] += 1
         _state["spilled"] = True
+        if pin:
+            _state["pin_step"] = _step[0]
         path = f"{_state['ckdir']}/step-{_step[0]:03d}"
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
         # Prune the superseded round: step N's write fully consumed step
         # N-1's files, and ``labels`` is rebound to the new read below —
-        # nothing re-executes the old lineage.  Never prunes step-001 (the
-        # edge pin backs every round's joins).  Deletion goes through the
-        # SAME Hadoop FileSystem the write used — checkpoint_dir is an
-        # hdfs://-style URI on the clusters this path exists for, where a
-        # driver-local shutil.rmtree would silently delete nothing.
+        # nothing re-executes the old lineage.  Never prunes the edge-pin
+        # step (it backs every round's joins) — tracked by number, because
+        # when the long-loop guard trips MID-loop the pin was never spilled
+        # and the first spilled step is an ordinary (prunable) labels round.
+        # Deletion goes through the SAME Hadoop FileSystem the write used —
+        # checkpoint_dir is an hdfs://-style URI on the clusters this path
+        # exists for, where a driver-local shutil.rmtree would silently
+        # delete nothing.
         prev = _step[0] - 1
-        if prev >= 2:
+        if prev >= 1 and prev != _state["pin_step"]:
             sc = df.sparkSession.sparkContext
             jpath = sc._jvm.org.apache.hadoop.fs.Path(
                 f"{_state['ckdir']}/step-{prev:03d}")
@@ -439,6 +490,27 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
             f"{dangling} edge endpoints are missing from vertices — components "
             f"would silently split; pass a vertex set covering every pair endpoint"
         )
+    changed = None
+    rounds = 0
+    try:
+        labels, rounds, changed = _propagate(
+            edges, labels, max_rounds, _materialize, _state, telemetry)
+    except BaseException:
+        _reclaim_auto_spill(vertices.sparkSession.sparkContext)
+        raise
+    if _state["auto_spill"] and _state["ckdir"] and _step[0]:
+        # The auto spill was internal cliff-avoidance: re-pin the final
+        # labels with ONE localCheckpoint (the measured cliff is per-chain)
+        # so nothing references the spill files, then reclaim the dir —
+        # the caller asked for the executor-block-backed contract.
+        labels = labels.localCheckpoint(eager=True)
+        _reclaim_auto_spill(vertices.sparkSession.sparkContext)
+    return labels, rounds
+
+
+def _propagate(edges, labels, max_rounds, _materialize, _state, telemetry):
+    import time as _time
+
     changed = None
     rounds = 0
     for _ in range(max_rounds):
@@ -490,7 +562,7 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
             f"({changed} labels still changing) — with pointer jumping this means "
             f"component diameter > 2^{max_rounds}; raise max_rounds"
         )
-    return labels, rounds
+    return labels, rounds, changed
 
 
 # Composes ORACLE_Q42 as a subquery (single source of truth for the pair

@@ -346,6 +346,16 @@ def build_appendix() -> str:
     effs = sorted(r["eff_4_16"] for r in rows)
     sws = sorted(r["sw_eff_4_16"] for r in rows)
     closure = _closure_identity(rows)
+    # Carried per-round hunt narrative: regeneration clobbered hand-written
+    # appendix paragraphs twice (round-7 trap) — they live in HUNT_NOTES.md
+    # now and are spliced in here on every rebuild.
+    notes_path = REPO / "BENCH" / "HUNT_NOTES.md"
+    hunt_notes = ""
+    if notes_path.exists():
+        body = notes_path.read_text()
+        if "-->" in body:  # drop the file's self-description comment
+            body = body.split("-->", 1)[1]
+        hunt_notes = "\n" + body.strip() + "\n"
     return f"""
 
 {APPENDIX_MARKER}
@@ -367,7 +377,7 @@ jobs) — together the decomposition triple: kernel eff ≥ 0.8 every time it
 was measured, fixed seconds ≈ 3% of the 16-core wall, so a sub-0.8 raw
 sample's residual is the same-window host ceiling and steal bursts, both
 printed beside it.
-
+{hunt_notes}
 {chr(10).join(table)}
 {closure}
 {_APPENDIX_NARRATIVE}"""
@@ -386,7 +396,15 @@ def main() -> None:
                     help="reuse an existing materialized corpus (not deleted "
                          "afterwards) — a crashed study otherwise throws away "
                          "the untimed generation work with it")
+    ap.add_argument("--short", action="store_true",
+                    help="shortened protocol (r7 verdict #2: windows decay "
+                         "inside the ~9-min full study): calibrate only the "
+                         "4/16 levels and imply --skip-8-32; pair with "
+                         "--repeats 1 and a ~250-350k corpus so one clean "
+                         "window covers the whole measurement (~3 min)")
     args = ap.parse_args()
+    if args.short:
+        args.skip_8_32 = True
 
     if args.appendix_only:
         path = REPO / "BENCH" / "BASELINE.md"
@@ -395,7 +413,7 @@ def main() -> None:
         print("appendix rebuilt")
         return
 
-    calib = cpu_calibration()
+    calib = cpu_calibration(levels=(4, 16) if args.short else (4, 8, 16, 32))
     mcalib = mem_calibration()
     print(json.dumps({"calibration": calib, "mem_calibration": mcalib}), flush=True)
     corpus_root = None
@@ -496,8 +514,8 @@ seed 42) at two parallelism levels on this 32-core host.  Updated {today}.
 ## Hardware calibration (why N=4)
 
 Pure-Python busy loops, per-proc wall seconds at each concurrency:
-{json.dumps(calib)}.  Per-core speed degrades {100 * (calib[32] / calib[4] - 1):.0f}%
-from 4→32 procs (all-core turbo / memory bandwidth), so a 0.8 target is only
+{json.dumps(calib)}.  Per-core speed degrades {100 * (calib[max(calib)] / calib[4] - 1):.0f}%
+from 4→{max(calib)} procs (all-core turbo / memory bandwidth), so a 0.8 target is only
 meaningful inside the linear envelope: N=4 → 4N=16, where the hardware
 efficiency ceiling is {calib[4] / calib[16]:.3f}.
 
@@ -582,6 +600,8 @@ incl. the skewed-corpus direct-vs-salted section).
             "kernel_eff_same_window": kernel_eff,
             "fixed_sec_4": _fixed_sec(r4),
             "fixed_sec_16": _fixed_sec(r16),
+            "repeats": args.repeats,
+            "short": bool(args.short),
         }) + "\n")
     # The body reports ONE study; keep the best raw sample there — a noisy
     # window must not overwrite the record study (the appendix carries every

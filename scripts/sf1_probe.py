@@ -181,10 +181,30 @@ def main() -> None:
             F.col("vec_id").cast("bigint").alias("vec_id"), "embedding")
         return _assign(emb, cents)
 
+    def _lib_ivf2_search_rule_sized(spark, sf_dir):
+        # r7 verdict #3: q48's hierarchical-descent SEARCH through the
+        # live-trained rule-sized quantizer (ivf_k_for(20k) = 79 → 9×9) —
+        # the descent had only run at the frozen 4×4 / sf0.01 scale.  Wall
+        # = routing + full-table assignment + in-cluster cosine top-k; the
+        # probe set and TOP_K mirror q48.  nprobe₁=3 / nprobe₂=9 keeps the
+        # same ~1/9-of-clusters search fraction as the frozen 2-of-16/4.
+        # Reuses the quantizer lib_ivf2_rule_sized left persisted when both
+        # probes run (the default); a solo run trains it on the FIRST
+        # repeat, so with --repeats > 1 the best-of min is pure search.
+        from docling_service_spark.queries.ann import (
+            ivf2_ann_topk,
+            train_ivf_2level,
+        )
+
+        if not _quants:
+            _quants.append(train_ivf_2level(spark, sf_dir))
+        return ivf2_ann_topk(spark, sf_dir, _quants[-1], n_probe1=3, n_probe2=9)
+
     from pyspark.sql import functions as F
 
     lib = {"lib_jaccard_full_sampled_df": _lib_jaccard,
            "lib_ivf2_rule_sized": _lib_ivf2_rule_sized,
+           "lib_ivf2_search_rule_sized": _lib_ivf2_search_rule_sized,
            "lib_flat_assign_join_switch": _lib_flat_assign_join_switch}
     wanted = args.queries.split(",")
     if args.queries == ",".join(PROBE_QUERIES):  # default = everything
@@ -194,19 +214,42 @@ def main() -> None:
         probes["q43_embedding_near_dup_keepers"] = _q43_instrumented
     for name, fn in probes.items():
         walls, rows, err = [], None, None
-        for _ in range(max(1, args.repeats)):
+        for rep in range(max(1, args.repeats)):
             t0 = time.perf_counter()
             try:
                 rows = fn(spark, DST).count()
                 walls.append(round(time.perf_counter() - t0, 2))
             except Exception as exc:  # the probe's whole point: surface the class
                 walls.append(round(time.perf_counter() - t0, 2))
-                err = f"{type(exc).__name__}: {str(exc)[:400]}"
+                # A failed later repeat invalidates the probe: reporting the
+                # prior repeat's row count beside err would read as partial
+                # success (advice r7) — the repeat index names the culprit.
+                rows = None
+                err = (f"repeat {rep + 1}/{max(1, args.repeats)}: "
+                       f"{type(exc).__name__}: {str(exc)[:400]}")
                 break
         results[name] = {"wall_sec": min(walls), "rows": rows, "err": err}
         if len(walls) > 1:
             results[name]["samples"] = walls
         print(json.dumps({name: results[name]}), flush=True)
+    if (_quants
+            and results.get("lib_ivf2_search_rule_sized", {}).get("err") is None
+            and "lib_ivf2_search_rule_sized" in results):
+        # Recall@10 spot-check vs brute force (r7 verdict #3): both result
+        # sets are k-bounded (N probes × TOP_K rows), so the collects are
+        # driver-safe by construction.
+        from docling_service_spark.queries.ann import ivf2_ann_topk
+        from docling_service_spark.queries.similarity import q40_cosine_topk
+
+        exact = {(r["probe_id"], r["neighbor_id"])
+                 for r in q40_cosine_topk(spark, DST).collect()}
+        got = {(r["probe_id"], r["neighbor_id"])
+               for r in ivf2_ann_topk(spark, DST, _quants[-1],
+                                      n_probe1=3, n_probe2=9).collect()}
+        rec = {"ivf2_search_recall10_vs_q40": round(len(exact & got) / len(exact), 3),
+               "exact_pairs": len(exact)}
+        results["lib_ivf2_search_rule_sized"].update(rec)
+        print(json.dumps(rec), flush=True)
     print(json.dumps({"sf1_probe": results}))
     spark.stop()
 

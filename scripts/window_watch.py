@@ -62,6 +62,12 @@ def main() -> None:
     ap.add_argument("--steal-gate", type=float, default=1.5)
     ap.add_argument("--max-attempts", type=int, default=3)
     ap.add_argument("--max-hours", type=float, default=4.0)
+    ap.add_argument("--short", action="store_true",
+                    help="fire studies with --short (4/16-only calibration; "
+                         "pair with --repeats 1 and a ~250-350k corpus): the "
+                         "r7 hunt's repeated failure mode was probe-clean -> "
+                         "ceiling decays inside the ~9-min full study, so the "
+                         "whole measurement must fit one clean window")
     ap.add_argument("--streak", type=int, default=1,
                     help="consecutive clean probes required before firing. "
                          "Default 1 = fire on a SINGLE clean probe: host "
@@ -87,7 +93,8 @@ def main() -> None:
             r = subprocess.run(
                 [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
                  "--n-docs", str(args.n_docs), "--corpus", args.corpus,
-                 "--skip-8-32", "--repeats", str(args.repeats)],
+                 "--skip-8-32", "--repeats", str(args.repeats)]
+                + (["--short"] if args.short else []),
                 cwd=REPO, capture_output=True, text=True, timeout=3600)
             tail = (r.stdout or "").strip().splitlines()
             print(json.dumps({"study_rc": r.returncode,

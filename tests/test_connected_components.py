@@ -76,10 +76,13 @@ def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path):
     assert "Join" not in plan
 
 
-def test_cluster_master_auto_derives_spill_dir(spark, tmp_path, monkeypatch):
-    """r6 verdict #6: a non-local master past the safe-round threshold must
-    ENGAGE the spill (not just warn) when a shared-FS dir is derivable —
-    here via spark.docling.cc.checkpointDir."""
+def test_cluster_master_auto_derives_spill_dir_and_reclaims_it(spark, tmp_path, monkeypatch):
+    """r6 verdict #6 + advice r7: a non-local master past the safe-round
+    threshold must ENGAGE the spill when a shared-FS dir is derivable (here
+    via spark.docling.cc.checkpointDir) — and because the derived dir is
+    internal cliff-avoidance (the caller passed checkpoint_dir=None), it
+    must be RECLAIMED before returning, with the path surfaced in telemetry
+    and the returned labels still fully usable (re-pinned to blocks)."""
     import os
 
     from docling_service_spark.queries import similarity as sim
@@ -88,17 +91,63 @@ def test_cluster_master_auto_derives_spill_dir(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sim, "_LOCAL_CK_SAFE_ROUNDS", 1)
     base = str(tmp_path / "shared")
     spark.conf.set("spark.docling.cc.checkpointDir", base)
+    tele: dict = {}
     try:
         labels, rounds = connected_components(
-            _verts(spark, 10), _pairs(spark, [(i, i + 1) for i in range(9)])
+            _verts(spark, 10), _pairs(spark, [(i, i + 1) for i in range(9)]),
+            telemetry=tele,
         )
     finally:
         spark.conf.unset("spark.docling.cc.checkpointDir")
+    # Labels consumable AFTER the spill dir is gone (localCheckpoint re-pin).
     assert {r.vec_id: r.keeper_id for r in labels.collect()} == {i: 0 for i in range(10)}
-    spills = [d for d in os.listdir(os.path.join(base, "_cc_spill"))]
-    assert len(spills) == 1  # unique per-loop subdir
-    steps = os.listdir(os.path.join(base, "_cc_spill", spills[0]))
-    assert any(s.startswith("step-") for s in steps)
+    assert tele["spill_dir_source"] == "derived"
+    assert tele["spill_dir"].startswith(base + "/_cc_spill/")
+    assert tele["spill_dir_reclaimed"] is True
+    assert not os.path.exists(tele["spill_dir"])  # nothing leaks under the warehouse
+    # The _cc_spill parent may remain (other loops could share it), but this
+    # loop's unique subdir and every step file inside it are gone.
+    if os.path.exists(os.path.join(base, "_cc_spill")):
+        assert os.listdir(os.path.join(base, "_cc_spill")) == []
+
+
+def test_local_guard_trip_reclaims_scratch_and_prunes_first_step(spark, monkeypatch):
+    """Mid-loop guard trip with checkpoint_dir=None (advice r7 #2): the edge
+    pin was localCheckpointed, so the FIRST spilled step is a superseded
+    labels round and must be pruned once step-002 lands (pin-step tracking,
+    not a hardcoded step-001 exemption); the scratch dir itself is reclaimed
+    before returning."""
+    import os
+
+    from docling_service_spark.queries import similarity as sim
+
+    monkeypatch.setattr(sim, "_LOCAL_CK_SAFE_ROUNDS", 1)
+    seen_steps: list[list[str]] = []
+    orig_read = type(spark.read).parquet
+
+    def spy_read(reader, path, *a, **kw):
+        # Each spilled round reads its own step back right after writing it —
+        # snapshot the dir listing at that moment to observe pruning live.
+        if "/cc-spill-" in path:
+            seen_steps.append(sorted(os.listdir(os.path.dirname(path))))
+        return orig_read(reader, path, *a, **kw)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy_read)
+    tele: dict = {}
+    labels, rounds = connected_components(
+        _verts(spark, 10), _pairs(spark, [(i, i + 1) for i in range(9)]),
+        telemetry=tele,
+    )
+    assert {r.vec_id: r.keeper_id for r in labels.collect()} == {i: 0 for i in range(10)}
+    assert tele["spill_dir_source"] == "local-scratch"
+    assert tele["spill_dir_reclaimed"] is True
+    assert not os.path.exists(tele["spill_dir"])
+    # Spilled rounds happened (guard tripped) and by the time step-003 was
+    # read back, step-001 — a superseded labels round, NOT the edge pin —
+    # had been pruned.
+    assert len(seen_steps) >= 3, seen_steps
+    assert "step-001" in seen_steps[0]
+    assert "step-001" not in seen_steps[2], seen_steps
 
 
 def test_cluster_master_warns_once_without_derivable_dir(spark, monkeypatch):

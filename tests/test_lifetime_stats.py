@@ -204,3 +204,53 @@ def test_compaction_carries_lifetime_forward_unchanged(spark, tmp_path):
     after = store.current_manifest()["lifetime_stats"]
     assert after == before  # a rewrite books no new extraction work
     assert after == _lineage_totals(spark, store)
+
+
+def test_streaming_merge_lifetime_stays_lineage_equal(spark, tmp_path):
+    """r7 verdict #6: micro-batches commit through the merge path, so
+    lifetime stats accrue transitively — assert lifetime_totals == lineage
+    sum after >= 3 micro-batches INCLUDING a no-op batch (identical docs
+    re-sent: a micro-batch fires, the doc-level diff finds zero changes,
+    no commit and no lifetime delta)."""
+    import glob
+    import shutil
+
+    from docling_service_spark.sparkio.streaming import stream_merge_upsert
+
+    def _land(path, docs, name):
+        tmp = f"{path}.{name}.tmp"
+        spark.createDataFrame(docs, INPUT_SCHEMA).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.makedirs(path, exist_ok=True)
+        shutil.move(part, os.path.join(path, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    inp = str(tmp_path / "landing")
+    root = str(tmp_path / "table")
+    docs = make_corpus(20)
+
+    _land(inp, docs, "w1")                       # batch 0: 20 fresh docs
+    stream_merge_upsert(spark, inp, root, n_buckets=N_BUCKETS)
+
+    changed = {"doc_id": docs[0]["doc_id"],
+               "spans": [{"kind": "text_block", "text": "stream rev",
+                          "media_ref": "1,72,100,400,16,TOPLEFT,text",
+                          "offset": 0}]}
+    _land(inp, [changed, docs[1]], "w2")         # batch 1: 1 changed + 1 resent
+    stream_merge_upsert(spark, inp, root, n_buckets=N_BUCKETS)
+
+    _land(inp, [docs[2], docs[3]], "w3")         # batch 2: pure no-op resend
+    stream_merge_upsert(spark, inp, root, n_buckets=N_BUCKETS)
+
+    store = SnapshotStore(root)
+    snaps = store.current_manifest()["snapshot_id"]
+    ls = store.current_manifest()["lifetime_stats"]
+    assert ls == _lineage_totals(spark, store)   # transitively exact
+    # 20 initial + the single changed doc; resends booked nothing.
+    assert ls["docs"] == 21
+    assert store.live_doc_count() == 20
+
+    # A 4th run with no new files = zero micro-batches; totals untouched.
+    stream_merge_upsert(spark, inp, root, n_buckets=N_BUCKETS)
+    assert store.current_manifest()["snapshot_id"] == snaps
+    assert store.current_manifest()["lifetime_stats"] == ls

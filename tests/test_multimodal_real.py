@@ -11,7 +11,15 @@ disallowed in the sandbox (no network, frozen environment), so the skip is
 the only observable outcome to date.  The PIL-dependent assertions were
 desk-checked against Pillow 10.x API docs (Image.open on BytesIO, .size,
 .convert, .resize); first CI environment with Pillow should drop this note
-after a green run."""
+after a green run.
+
+Round-8 re-check (2026-08-18): PIL still absent; raw TCP connects now
+succeed but HTTPS requests return no data (curl to pypi → 000), so the
+environment remains effectively offline and installation is still
+disallowed — status unchanged.  The same re-check applies to the R2 real
+wire (boto3 1.43 IS present, but no credentials exist in the environment
+and the endpoint is unreachable), so tests/test_object_store.py stays on
+the FakeS3Client path."""
 
 from __future__ import annotations
 
