@@ -671,11 +671,18 @@ def _bucket_summaries(df) -> dict[str, list]:
 
 _EMPTY_SUM = [0, "0", "0"]
 
-# Per-bucket observe pivot cap (advice r6): 3 conditional aggregates per
-# bucket live in ONE CollectMetrics node, so plan + codegen cost grows
-# linearly with the bucket count.  Up to ~64 buckets the pivot is cheaper
-# than the post-write summarize scan it replaces; past that the scan wins.
-_OBSERVE_BUCKET_CAP = 64
+# Per-bucket observe pivot cap (advice r6; MEASURED round 8 — the 64 the
+# comment used to assert from plan-cost reasoning was wrong): the pivot's
+# 3-conditional-aggregates-per-bucket CollectMetrics cost is partly
+# PER-ROW, not just plan/codegen — at 32 buckets it added ~0.9 s over the
+# scan at 6k docs and ~2 s at 60k, growing superlinearly past 64 buckets,
+# while the post-write summarize scan it replaces is a column-pruned
+# parallel job that stayed at 0.15-0.6 s across that whole range
+# (BENCH/OBSERVE_SWEEP.md, scripts/observe_sweep.py).  The measured
+# crossover is ~8 buckets: the pivot only pays off where the saved job
+# LATENCY outweighs its evaluation cost, i.e. small few-bucket incremental
+# runs.  The 4 run-stat metrics always ride the observation either way.
+_OBSERVE_BUCKET_CAP = 8
 
 
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,

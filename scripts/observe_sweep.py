@@ -35,7 +35,12 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=6000)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--buckets", default=",".join(map(str, BUCKET_COUNTS)),
+                    help="comma-separated bucket counts to sweep")
+    ap.add_argument("--no-md", action="store_true",
+                    help="print cells only; don't rewrite BENCH/OBSERVE_SWEEP.md")
     args = ap.parse_args()
+    bucket_counts = tuple(int(b) for b in args.buckets.split(","))
 
     from docling_service_spark.corpus import corpus_df
     from docling_service_spark.sparkio import checkpoint as cp
@@ -60,20 +65,22 @@ def main() -> None:
     cap0 = cp._OBSERVE_BUCKET_CAP
     cells: dict[str, dict[int, float]] = {"pivot": {}, "scan": {}}
     try:
-        for n_buckets in BUCKET_COUNTS:
+        for n_buckets in bucket_counts:
             for mode, cap in (("pivot", 10**9), ("scan", -1)):
                 cp._OBSERVE_BUCKET_CAP = cap
-                walls = []
+                walls, summarize_ms = [], []
                 for rep in range(args.repeats):
                     root = os.path.join(scratch, f"t{n_buckets}-{mode}-{rep}")
                     t0 = time.perf_counter()
-                    run_incremental(spark, scan, root, n_buckets=n_buckets,
-                                    num_partitions=args.cpus, run_id="r")
+                    s = run_incremental(spark, scan, root, n_buckets=n_buckets,
+                                        num_partitions=args.cpus, run_id="r")
                     walls.append(round(time.perf_counter() - t0, 3))
+                    summarize_ms.append(s["timings_ms"]["summarize_ms"])
                     shutil.rmtree(root, ignore_errors=True)
                 cells[mode][n_buckets] = min(walls)
                 print(json.dumps({"buckets": n_buckets, "mode": mode,
-                                  "wall_sec": min(walls), "samples": walls}),
+                                  "wall_sec": min(walls), "samples": walls,
+                                  "summarize_ms": summarize_ms}),
                       flush=True)
     finally:
         cp._OBSERVE_BUCKET_CAP = cap0
@@ -83,7 +90,7 @@ def main() -> None:
     # Crossover: largest bucket count where the pivot still wins (walls are
     # best-of-N on a 2.4x-variance host — treat sub-5% deltas as a tie).
     rows, crossover = [], None
-    for n in BUCKET_COUNTS:
+    for n in bucket_counts:
         p, s = cells["pivot"][n], cells["scan"][n]
         delta = (s - p) / s
         verdict = "tie" if abs(delta) < 0.05 else ("pivot" if p < s else "scan")
@@ -94,6 +101,8 @@ def main() -> None:
                "cells": {m: cells[m] for m in cells},
                "n_docs": args.n_docs, "repeats": args.repeats}
     print(json.dumps({"observe_sweep": summary}))
+    if args.no_md:
+        return
 
     md = ["# Observe-pivot vs summary-scan crossover (r7 verdict #5)", "",
           f"Fixed corpus: {args.n_docs} docs, local[{args.cpus}], "
