@@ -109,7 +109,8 @@ class SnapshotStore:
                n_buckets: Optional[int] = None,
                bucket_sums: Optional[dict] = None,
                expected_parent_snapshot_id: object = "__unset__",
-               run_stats: Optional[dict] = None) -> int:
+               run_stats: Optional[dict] = None,
+               replace_lineage_runs: Optional[list] = None) -> int:
         """Optimistic-concurrency commit.  Snapshot-id allocation is the
         atomic commit point: the manifest body is fully written to a unique
         temp file, then claimed with ``os.link`` (fails with FileExistsError
@@ -120,7 +121,21 @@ class SnapshotStore:
         second silently clobbering the first's buckets.
 
         ``bucket_sums`` (bucket → [doc_count, input_hash_sum]) is carried in
-        the manifest so upserts can detect clean buckets from metadata alone."""
+        the manifest so upserts can detect clean buckets from metadata alone.
+
+        ``replace_lineage_runs`` sets the child manifest's ``lineage_runs``
+        verbatim instead of appending ``run_id`` — used by metadata-only
+        commits (data compaction carries the parent's list unchanged; it
+        writes no lineage dir, so appending would grow the list with phantom
+        ids) and by lineage compaction (the consolidated dir REPLACES the
+        list).  Replacing blindly would drop lineage runs a concurrent
+        writer appended, so it requires the compare-and-swap parent check."""
+        if (replace_lineage_runs is not None
+                and expected_parent_snapshot_id == "__unset__"):
+            raise ValueError(
+                "replace_lineage_runs requires expected_parent_snapshot_id "
+                "(a blind replacement could drop a concurrent commit's lineage run)"
+            )
         for _ in range(self.MAX_COMMIT_RETRIES):
             parent = self.current_manifest()
             if expected_parent_snapshot_id != "__unset__":
@@ -149,7 +164,10 @@ class SnapshotStore:
             sums = dict((parent or {}).get("bucket_sums") or {})
             for b, s in (bucket_sums or {}).items():
                 sums[str(b)] = s
-            lineage_runs = (list(parent["lineage_runs"]) if parent else []) + [run_id]
+            if replace_lineage_runs is not None:
+                lineage_runs = list(replace_lineage_runs)
+            else:
+                lineage_runs = (list(parent["lineage_runs"]) if parent else []) + [run_id]
             # Lifetime work totals accumulate in the manifest so reporting
             # never scans the lineage table (O(runs) parquet reads on every
             # cron run at scale; and the manifest survives the commit→lineage
@@ -507,9 +525,13 @@ def compact(
                 .select("_bucket", "_input_hash"))
             for b in missing:
                 sums[b] = fresh.get(b, list(_EMPTY_SUM))
+        # Metadata-only commit: no lineage dir is written (row content moved,
+        # no work booked), so carry the parent's lineage_runs verbatim —
+        # appending would grow the list with a phantom id per compaction.
         snapshot_id = store.commit(buckets, run_id, allow_overwrite=True,
                                    n_buckets=m["n_buckets"], bucket_sums=sums,
-                                   expected_parent_snapshot_id=expected_parent)
+                                   expected_parent_snapshot_id=expected_parent,
+                                   replace_lineage_runs=m.get("lineage_runs", []))
     except Exception as exc:
         notify_completion(on_complete, {
             "run_id": run_id, "snapshot_id": None, "buckets": buckets, "docs": 0,
@@ -521,6 +543,74 @@ def compact(
     summary = {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets,
                "docs": docs, "runs_before": len(live_runs),
                "runs_after": runs_after}
+    notify_completion(on_complete, {**summary, "status": "completed", "detail": None})
+    return summary
+
+
+def compact_lineage(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_lineage_runs: int = 32,
+    run_id: Optional[str] = None,
+    on_complete=None,
+) -> dict:
+    """Fold the lineage table's per-run dirs into ONE consolidated dir when
+    the manifest references more than ``max_lineage_runs`` of them.
+
+    Why it matters at scale: ``lineage_runs`` grows by one on EVERY data
+    commit and never shrinks — a 5-minute incremental cron runs ~100k
+    commits/year, so (a) each commit rewrites the whole list into the child
+    manifest (O(runs) JSON per commit, O(runs²) cumulative), and (b)
+    ``read_lineage`` unions O(runs) parquet dirs of a few KB each — a
+    100k-path DataFrameReader listing dwarfs the actual scan.  Folding the
+    tiny dirs into one keeps both the manifest and the lineage read
+    O(1)-ish between compactions.  Row CONTENT is untouched (lineage rows
+    keep their original run_id/snapshot_id columns), so per-run history,
+    lineage-scan lifetime totals for legacy tables, and the
+    ``lifetime_totals == lineage sum`` invariant all survive verbatim.
+
+    Crash/concurrency discipline mirrors ``compact``: the consolidated dir
+    is written first, then claimed by a compare-and-swap metadata-only
+    commit whose ``lineage_runs`` is replaced with ``[run_id]`` — a writer
+    landing first turns this dir into a vacuumable orphan
+    (``SnapshotConflictError``); superseded dirs stay referenced by
+    retained manifests until ``vacuum`` expires those.
+
+    Returns ``{"run_id", "snapshot_id", "runs_before", "runs_after"}``;
+    ``snapshot_id`` None = no-op (within budget or empty table)."""
+    store = SnapshotStore(root)
+    m = store.current_manifest()
+    existing = list((m or {}).get("lineage_runs", []))
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if m is None or len(existing) <= max_lineage_runs:
+        summary = {"run_id": run_id, "snapshot_id": None,
+                   "runs_before": len(existing), "runs_after": len(existing)}
+        notify_completion(on_complete, {**summary, "status": "noop", "detail": None})
+        return summary
+    expected_parent = m["snapshot_id"]
+    dirs = [p for r in existing
+            if os.path.exists(p := os.path.join(root, "lineage", f"run={r}"))]
+    dst = os.path.join(root, "lineage", f"run={run_id}")
+    try:
+        src = (spark.read.schema(LINEAGE_DDL).parquet(*dirs) if dirs
+               else spark.createDataFrame([], LINEAGE_DDL))
+        # coalesce(1): the whole lineage table is a few KB per run — one
+        # file IS the point (the data table never does this).
+        src.coalesce(1).write.parquet(dst, mode="overwrite")
+        snapshot_id = store.commit(
+            [], run_id, n_buckets=m["n_buckets"],
+            expected_parent_snapshot_id=expected_parent,
+            replace_lineage_runs=[run_id])
+    except Exception as exc:
+        notify_completion(on_complete, {
+            "run_id": run_id, "snapshot_id": None,
+            "runs_before": len(existing), "runs_after": len(existing),
+            "status": "failed", "detail": f"{type(exc).__name__}: {exc}",
+        })
+        raise
+    summary = {"run_id": run_id, "snapshot_id": snapshot_id,
+               "runs_before": len(existing), "runs_after": 1}
     notify_completion(on_complete, {**summary, "status": "completed", "detail": None})
     return summary
 

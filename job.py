@@ -127,6 +127,12 @@ def main(argv=None) -> int:
                          "--compact-max-runs dirs (binpack — O(tail) "
                          "rewrite); 'table' rewrites everything into one "
                          "dir (O(table))")
+    ap.add_argument("--compact-lineage-max-runs", type=int, default=32,
+                    metavar="N",
+                    help="with --compact: also fold the lineage table's "
+                         "per-run dirs into one when the manifest references "
+                         "more than N of them (the list grows by one per "
+                         "commit forever; default 32)")
     ap.add_argument("--vacuum-keep", type=int, default=None, metavar="N",
                     help="after the run, vacuum the table: keep the last N "
                          "manifests, delete orphan run dirs older than "
@@ -252,12 +258,17 @@ def main(argv=None) -> int:
     if merge_prepared is not None:
         merge_prepared.unpersist()
     if args.compact:
-        from docling_service_spark.sparkio.checkpoint import compact
+        from docling_service_spark.sparkio.checkpoint import compact, compact_lineage
 
         c = compact(spark, args.output, max_live_runs=args.compact_max_runs,
                     scope=args.compact_scope, on_complete=on_complete)
         report["compact"] = {k: c[k] for k in
                              ("snapshot_id", "runs_before", "runs_after")}
+        cl = compact_lineage(spark, args.output,
+                             max_lineage_runs=args.compact_lineage_max_runs,
+                             on_complete=on_complete)
+        report["compact_lineage"] = {k: cl[k] for k in
+                                     ("snapshot_id", "runs_before", "runs_after")}
     if args.vacuum_keep is not None:
         # After --compact the superseded dirs become vacuum-eligible once
         # the retained manifests referencing them expire.

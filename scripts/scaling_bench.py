@@ -125,6 +125,23 @@ def run_level(master: str, corpus_path: str) -> dict:
         cmd = [
             "taskset", "-c", f"0-{cpus - 1}",
             "spark-submit", "--master", master, "--driver-memory", "8g",
+            # One corpus FILE per scan task (round-8 discovery): with the
+            # default 128 MB maxPartitionBytes + 4 MB openCost, FilePartition
+            # packing turns the 128-file corpus into a task-count LOTTERY
+            # driven by corpus bytes and defaultParallelism — 250k docs
+            # packed to EXACTLY 16 tasks at local[16] (one perfect wave; the
+            # 0.827 record rode this) while 350k packed to 19 (a 16+3
+            # straggler second wave) and 500k to 19 at BOTH levels, a
+            # structural efficiency ceiling of ~0.63 that every 350k/500k
+            # sample sat under and the decomposition misread as host noise.
+            # openCost > any corpus file size forces 1 file/bin; the 16 MB
+            # split cap is above every file size so no file is ever split
+            # into a phantom empty-range task.  128 uniform single-file
+            # tasks = 8 balanced waves at local[16], 32 at local[4]:
+            # granularity ceiling ~1.0 at ANY corpus size, which is what a
+            # 1000-executor scan of 100k+ files has naturally.
+            "--conf", "spark.sql.files.maxPartitionBytes=16m",
+            "--conf", "spark.sql.files.openCostInBytes=8m",
             str(REPO / "job.py"),
             "--output", out_dir, "--input", corpus_path, "--n-buckets", "32",
         ]
