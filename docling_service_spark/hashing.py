@@ -91,3 +91,37 @@ except ImportError:  # pure-Python spec implementation (this sandbox)
 def media_key(content: bytes) -> str:
     """Content-addressed storage key, shape per reference ``app/main.py:718``."""
     return f"images/{xxh64_hexdigest(content)}.png"
+
+
+def xxh64_long_spark_np(values):
+    """Vectorized twin of Spark SQL's ``xxhash64(<bigint col>)``.
+
+    Spark hashes a long column as XXH64 of the value's 8 little-endian bytes
+    with seed 42 (catalyst XXH64.hashLong), returned as a SIGNED int64.  For
+    8-byte input the algorithm collapses to a closed formula, so it
+    vectorizes exactly in uint64 numpy (all ops wrap mod 2^64 by
+    construction).  Used by the extraction kernel to fold per-bucket content
+    fingerprints into the write itself (checkpoint run-stats accumulator) —
+    parity with ``F.xxhash64`` is what lets the driver-side sums replace the
+    post-write summarize scan bit-for-bit.  Differentially tested against
+    the byte-wise spec impl above and against Spark in tests/test_hashing.py.
+
+    ``values``: numpy int64 array.  Returns numpy int64 array.
+    """
+    import numpy as np
+
+    v = values.astype(np.uint64)
+    p1, p2, p3 = np.uint64(_P1), np.uint64(_P2), np.uint64(_P3)
+    p4, p5 = np.uint64(_P4), np.uint64(_P5)
+    h = np.uint64(42) + p5 + np.uint64(8)
+    k1 = v * p2
+    k1 = np.bitwise_or(np.left_shift(k1, np.uint64(31)),
+                       np.right_shift(k1, np.uint64(33)))
+    k1 = k1 * p1
+    h = np.bitwise_xor(h, k1)
+    h = np.bitwise_or(np.left_shift(h, np.uint64(27)),
+                      np.right_shift(h, np.uint64(37))) * p1 + p4
+    h = np.bitwise_xor(h, np.right_shift(h, np.uint64(33))) * p2
+    h = np.bitwise_xor(h, np.right_shift(h, np.uint64(29))) * p3
+    h = np.bitwise_xor(h, np.right_shift(h, np.uint64(32)))
+    return h.astype(np.int64)

@@ -98,7 +98,42 @@ def _span_bytes(spans) -> int:
     return total
 
 
-def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES):
+def _fold_bucket_sums(local: dict, bucket_arr: pa.Array, hash_arr: pa.Array) -> None:
+    """Fold this batch's per-bucket content fingerprints into ``local``:
+    ``("b", bucket) -> (n, sum(_input_hash), sum(xxhash64(_input_hash)))``.
+
+    Exact integer sums (Spark's decimal(38,0) twin): each int64 is split
+    into arithmetic-shift high and unsigned low 32-bit halves, group-summed
+    in int64 (no overflow below 2^31 rows/batch), and reassembled as Python
+    big ints — bit-for-bit the sums the post-write summarize scan computed,
+    now costing one vectorized pass inside the extraction batch instead of
+    a second Spark job over the written files."""
+    import numpy as np
+
+    from ..hashing import xxh64_long_spark_np
+
+    b = bucket_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = hash_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(b, return_inverse=True)
+    cnt = np.bincount(inv, minlength=len(uniq))
+
+    def _group_sums(vals):
+        lo = np.zeros(len(uniq), np.int64)
+        hi = np.zeros(len(uniq), np.int64)
+        np.add.at(lo, inv, vals & np.int64(0xFFFFFFFF))
+        np.add.at(hi, inv, vals >> np.int64(32))
+        return [(int(a) << 32) + int(c) for a, c in zip(hi, lo)]
+
+    s = _group_sums(h)
+    s2 = _group_sums(xxh64_long_spark_np(h))
+    for i, bk in enumerate(uniq):
+        key = ("b", int(bk))
+        cur = local.get(key)
+        add = (int(cnt[i]), s[i], s2[i])
+        local[key] = add if cur is None else tuple(x + y for x, y in zip(cur, add))
+
+
+def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES, stats_acc=None):
     """Build the mapInArrow kernel with an oversized-doc cap (see
     MAX_DOC_BYTES).  Pure w.r.t. row content; safe under task retry.
 
@@ -107,7 +142,17 @@ def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES):
     dicts, and columns the kernel doesn't read are never converted), output
     builds per-field lists encoded with ``RecordBatch.from_arrays`` (measured
     ~40% cheaper than ``from_pylist``'s per-row per-field dict lookups +
-    type dispatch)."""
+    type dispatch).
+
+    ``stats_acc``: optional Spark accumulator (dict-merging param, see
+    checkpoint._RunStatsParam).  When set, the kernel folds per-partition
+    lineage stats ``("p", pid) -> (docs, bytes, failures, rejects, wall_ms)``
+    and per-bucket content fingerprints (_fold_bucket_sums) into it, one
+    ``add`` per task at iterator end.  The write action is a single result
+    stage (no Exchange before mapInArrow by design), so Spark applies each
+    task's update exactly once — retried/failed attempts are discarded with
+    the task (the caller additionally cross-checks the totals against the
+    write's observe metrics before trusting them)."""
 
     def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -123,6 +168,7 @@ def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES):
         # instrumentation tail is built directly below).
         res_fields = ["doc_id", "spans", "images", "tables", "pages",
                       "markdown", "status", "detail"]
+        local_stats: dict = {}
         for batch in batches:
             t0 = time.perf_counter()
             in_names = batch.schema.names
@@ -184,13 +230,31 @@ def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES):
             if n:
                 arrays = [pa.array(cols[f], type=schema.field(f).type)
                           for f in res_fields]
+                if stats_acc is not None:
+                    # Stats folding is part of the batch (and so of its
+                    # booked wall below): per-partition lineage counters +
+                    # per-bucket fingerprints, replacing the post-write
+                    # summarize/lineage jobs entirely.
+                    st = cols["status"]
+                    key = ("p", pid)
+                    cur = local_stats.get(key, (0, 0, 0, 0, 0))
+                    local_stats[key] = (cur[0] + n, cur[1] + sum(bytes_col),
+                                        cur[2] + st.count("failed"),
+                                        cur[3] + st.count("rejected"), cur[4])
+                    if have_passthrough:
+                        _fold_bucket_sums(local_stats, batch.column("_bucket"),
+                                          batch.column("_input_hash"))
                 arrays.append(pa.array([pid] * n, type=pa.int32()))
                 arrays.append(pa.array(bytes_col, type=pa.int64()))
                 # Batch wall includes the Arrow decode/encode, not just the
                 # extractor — lineage wall_ms is the true Python-stage cost.
+                wall_ms = int((time.perf_counter() - t0) * 1000)
+                if stats_acc is not None:
+                    key = ("p", pid)
+                    cur = local_stats[key]
+                    local_stats[key] = cur[:4] + (cur[4] + wall_ms,)
                 arrays.append(pa.array(
-                    [int((time.perf_counter() - t0) * 1000)] + [0] * (n - 1),
-                    type=pa.int64()))
+                    [wall_ms] + [0] * (n - 1), type=pa.int64()))
                 if have_passthrough:
                     arrays.append(batch.column("_bucket").cast(pa.int32()))
                     arrays.append(batch.column("_input_hash").cast(pa.int64()))
@@ -198,6 +262,11 @@ def make_extract_kernel(max_doc_bytes: int = MAX_DOC_BYTES):
                     arrays.append(pa.nulls(n, type=pa.int32()))
                     arrays.append(pa.nulls(n, type=pa.int64()))
                 yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+        if stats_acc is not None and local_stats:
+            # One add per task, at iterator end: ships with the task result
+            # through the standard accumulator path (exactly-once for this
+            # single result stage).
+            stats_acc.add(local_stats)
 
     return extract_batches
 

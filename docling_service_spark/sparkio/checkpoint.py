@@ -37,15 +37,58 @@ import json
 import os
 import time
 import uuid
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .batch import INSTRUMENTED_DDL
-from .pipeline import derive_lineage, run_extraction, strip_instrumentation
+from .pipeline import run_extraction, strip_instrumentation
 
 LINEAGE_DDL = ("run_id string, snapshot_id bigint, partition_id int, doc_count bigint, "
                "bytes bigint, parse_failures bigint, rejected bigint, wall_ms bigint")
+
+# Arrow twin of LINEAGE_DDL for the driver-side lineage write (physical
+# parquet types must round-trip through spark.read.schema(LINEAGE_DDL)).
+_LINEAGE_FIELDS = [("run_id", "string"), ("snapshot_id", "int64"),
+                   ("partition_id", "int32"), ("doc_count", "int64"),
+                   ("bytes", "int64"), ("parse_failures", "int64"),
+                   ("rejected", "int64"), ("wall_ms", "int64")]
+
+
+def _write_lineage_rows(rows, out_dir: str) -> None:
+    """Write collected lineage rows as one parquet file, driver-side.
+
+    Lineage is metadata-sized — O(extraction partitions) rows per run, the
+    same scale as a Delta/Iceberg manifest's per-file stats — so routing it
+    through a Spark write job paid ~0.5 s of pure per-run fixed cost (task
+    scheduling + commit protocol for a handful of rows).  The aggregate
+    itself still runs as one Spark job (column-pruned scan of the run dir);
+    only the tiny result crosses to the driver, which already owns the
+    store root for manifest IO.  Crash-safety matches the manifest writes:
+    tmp file + os.replace, so readers never see a partial parquet file (a
+    crash before the replace loses metrics rows only — same contract as the
+    commit→lineage window documented at the call site).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([(n, getattr(pa, t)()) for n, t in _LINEAGE_FIELDS])
+    cols = {n: [r[n] for r in rows] for n, _ in _LINEAGE_FIELDS}
+    table = pa.Table.from_pydict(cols, schema=schema)
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, "part-00000.parquet")
+    # Overwrite semantics of the Spark write this replaces: a retried run
+    # with the same run_id must not leave stale part files to double-count.
+    for name in os.listdir(out_dir):
+        if name != os.path.basename(final):
+            try:
+                os.remove(os.path.join(out_dir, name))
+            except OSError:
+                pass
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
 
 
 class SnapshotConflictError(RuntimeError):
@@ -761,18 +804,30 @@ def _bucket_summaries(df) -> dict[str, list]:
 
 _EMPTY_SUM = [0, "0", "0"]
 
-# Per-bucket observe pivot cap (advice r6; MEASURED round 8 — the 64 the
-# comment used to assert from plan-cost reasoning was wrong): the pivot's
-# 3-conditional-aggregates-per-bucket CollectMetrics cost is partly
-# PER-ROW, not just plan/codegen — at 32 buckets it added ~0.9 s over the
-# scan at 6k docs and ~2 s at 60k, growing superlinearly past 64 buckets,
-# while the post-write summarize scan it replaces is a column-pruned
-# parallel job that stayed at 0.15-0.6 s across that whole range
-# (BENCH/OBSERVE_SWEEP.md, scripts/observe_sweep.py).  The measured
-# crossover is ~8 buckets: the pivot only pays off where the saved job
-# LATENCY outweighs its evaluation cost, i.e. small few-bucket incremental
-# runs.  The 4 run-stat metrics always ride the observation either way.
-_OBSERVE_BUCKET_CAP = 8
+class _RunStatsParam:
+    """Dict-merging accumulator param for the kernel's run stats
+    (``("p", pid) -> (docs, bytes, failures, rejects, wall_ms)`` and
+    ``("b", bucket) -> (n, sum_hash, sum_rehash)``; one ``add`` per task).
+
+    Declared here (not batch.py) so the worker-side closure only pickles a
+    tiny class.  Inherits nothing: pyspark's AccumulatorParam is a plain
+    duck-typed interface (zero / addInPlace)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            cur = a.get(k)
+            a[k] = tuple(v) if cur is None else tuple(x + y for x, y in zip(cur, v))
+        return a
+
+
+# Kill-switch for the in-write stats accumulator (tests force the fallback
+# path through here; operationally always on — the observe cross-check
+# below already degrades to the scan on any mismatch).
+_USE_STATS_ACC = True
+_ACC_MISMATCH_WARNED = False
 
 
 def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
@@ -787,8 +842,18 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     # remainder (scan + write + codec).
     timings: dict[str, int] = {}
     t0 = time.perf_counter()
+    # Run stats (per-partition lineage counters + per-bucket content
+    # fingerprints) fold into the write itself via an accumulator the
+    # kernel bumps once per task (make_extract_kernel) — at scale the
+    # alternative is a second pass over the files just written, which at
+    # 100 TB is a second scan of the run's entire output.  Exactly-once:
+    # the write is a single result stage, and the totals are additionally
+    # cross-checked against the observe metrics below before being trusted
+    # (any mismatch falls back to the exact post-write scan).
+    stats_acc = (spark.sparkContext.accumulator({}, _RunStatsParam())
+                 if _USE_STATS_ACC else None)
     out = run_extraction(prepared, num_partitions=num_partitions,
-                         max_doc_bytes=max_doc_bytes)
+                         max_doc_bytes=max_doc_bytes, stats_acc=stats_acc)
     fresh = F.lit(True)
     if carry_rows is not None:
         # Doc-level merge: committed rows of the dirty buckets that the
@@ -803,41 +868,25 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
                .unionByName(carry_rows.withColumn("_fresh", F.lit(False))))
         fresh = F.col("_fresh")
 
-    # Per-bucket summaries ride the WRITE action as df.observe metrics
-    # (r5 verdict next-round #1b): conditional aggregates per processed
-    # bucket collected during the extraction job itself — the post-write
-    # summarize scan job this replaces was pure fixed per-run cost (the
-    # N→4N study's residual), and observe launches NO extra job.  The
-    # bucket list is known pre-action, so the pivot is static; CollectMetrics
-    # is a narrow node (the zero-Exchange-before-mapInArrow plan survives).
-    # Above _OBSERVE_BUCKET_CAP buckets the pivot is skipped (3 aggregate
-    # expressions per bucket in one CollectMetrics node grow the plan and
-    # codegen linearly — a full-table run over hundreds of buckets would
-    # pay more in plan cost than the one summarize scan it saves) and the
-    # post-write _bucket_summaries scan is used instead; the 4 run-stat
-    # metrics always ride the observation.
-    obs = Observation(f"bucket-sums-{run_id}")
+    # Whole-run stat metrics ride the WRITE action as df.observe metrics —
+    # CollectMetrics is a narrow node (the zero-Exchange-before-mapInArrow
+    # plan survives) and launches NO extra job.  They are restricted to
+    # this run's REAL work via the carried-flag conditional, so every path
+    # (fresh table, incremental, merge) books lifetime totals at commit,
+    # and they double as the independent cross-check for the accumulator's
+    # kernel-side stats (computed by different machinery on the same rows).
+    # The per-bucket observe PIVOT that used to sit here (r5..r7) was
+    # retired in round 8: its conditional aggregates cost per-ROW time
+    # (measured, BENCH/OBSERVE_SWEEP.md) while the accumulator folds the
+    # same fingerprints into the kernel's existing columnar pass.
+    obs = Observation(f"run-stats-{run_id}")
     obs_exprs = [
         F.count(F.lit(1)).alias("_total"),
-        # Whole-run lineage-style stats ride the same action, restricted to
-        # this run's REAL work via the carried-flag conditional, so every
-        # path (fresh table, incremental, merge) books lineage totals
-        # without a post-run lineage scan job: commit() accumulates them
-        # into the manifest's lifetime_stats.
         F.sum(F.when(fresh, F.col("_wall_ms"))).alias("_wall_ms_total"),
         F.count(F.when(fresh, 1)).alias("_fresh_total"),
         F.count(F.when(fresh & (F.col("status") == "failed"), 1)).alias("_failed"),
         F.count(F.when(fresh & (F.col("status") == "rejected"), 1)).alias("_rejected"),
     ]
-    observe_buckets = len(buckets) <= _OBSERVE_BUCKET_CAP
-    if observe_buckets:
-        for b in buckets:
-            cond = F.col("_bucket") == int(b)
-            obs_exprs += [
-                F.count(F.when(cond, 1)).alias(f"n_{b}"),
-                F.sum(F.when(cond, F.col("_input_hash").cast("decimal(38,0)"))).alias(f"s_{b}"),
-                F.sum(F.when(cond, F.xxhash64(F.col("_input_hash")).cast("decimal(38,0)"))).alias(f"s2_{b}"),
-            ]
     out = out.observe(obs, *obs_exprs)
     if carry_rows is not None:
         out = out.drop("_fresh")  # projection sits ABOVE the observe node
@@ -849,19 +898,78 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
     t0 = time.perf_counter()
     written = spark.read.schema(INSTRUMENTED_DDL).parquet(data_dir)
     m = obs.get
-    if observe_buckets:
-        bucket_sums = {
-            str(b): [int(m[f"n_{b}"]), str(m[f"s_{b}"] or 0), str(m[f"s2_{b}"] or 0)]
-            for b in buckets if m[f"n_{b}"]
-        }
-        if m["_total"] != sum(v[0] for v in bucket_sums.values()):
-            # A row outside the planned bucket list (cannot happen for
-            # prepared inputs; belt-and-braces for future callers): the
-            # observed pivot would silently under-summarize — fall back to
-            # the exact scan.
-            bucket_sums = _bucket_summaries(written)
-    else:
-        bucket_sums = _bucket_summaries(written)
+
+    # Primary path: the kernel-side accumulator already holds both
+    # post-write aggregates — per-partition lineage stats (fresh work only
+    # by construction: carried merge rows never pass the kernel) and
+    # per-bucket content fingerprints.  Trust it only after its totals
+    # reconcile with the observe metrics computed by independent machinery
+    # on the same action (guards codepath bugs and any exotic retry
+    # semantics).  Merge runs still need one _bucket_summaries scan: bucket
+    # fingerprints cover ALL live rows, carried included.
+    lineage_stats = None  # [(pid, (docs, bytes, failures, rejects, wall))]
+    bucket_sums = None
+    if stats_acc is not None:
+        acc = stats_acc.value
+        p_stats = {int(k[1]): v for k, v in acc.items() if k[0] == "p"}
+        b_stats = {int(k[1]): v for k, v in acc.items() if k[0] == "b"}
+        acc_ok = (
+            sum(v[0] for v in p_stats.values()) == int(m["_fresh_total"])
+            and sum(v[2] for v in p_stats.values()) == int(m["_failed"])
+            and sum(v[3] for v in p_stats.values()) == int(m["_rejected"])
+            and sum(v[4] for v in p_stats.values()) == int(m["_wall_ms_total"] or 0)
+            and sum(v[0] for v in b_stats.values()) == int(m["_fresh_total"])
+        )
+        if acc_ok:
+            lineage_stats = sorted(p_stats.items())
+            if carry_rows is None:
+                bucket_sums = {str(b): [int(v[0]), str(v[1]), str(v[2])]
+                               for b, v in b_stats.items()}
+            else:
+                bucket_sums = _bucket_summaries(written)
+        else:  # pragma: no cover - exercised via _USE_STATS_ACC in tests
+            global _ACC_MISMATCH_WARNED
+            if not _ACC_MISMATCH_WARNED:
+                _ACC_MISMATCH_WARNED = True
+                warnings.warn(
+                    "run-stats accumulator disagreed with observe metrics; "
+                    "falling back to the post-write scan for this run",
+                    RuntimeWarning, stacklevel=2)
+
+    if lineage_stats is None:
+        # Fallback: ONE fused metadata job over the just-written run dir —
+        #   grouping (_pid)    -> per-partition lineage rows (fresh only)
+        #   grouping (_bucket) -> per-bucket fingerprints (all live rows)
+        # O(partitions + buckets) rows collected driver-side.
+        if carry_rows is not None:
+            agg_src = written.join(
+                carry_rows.select("doc_id").withColumn("_carried", F.lit(True)),
+                "doc_id", "left")
+            fresh_row = F.col("_carried").isNull()
+        else:
+            agg_src = written
+            fresh_row = F.lit(True)
+        fused_rows = agg_src.groupingSets([["_pid"], ["_bucket"]], "_pid", "_bucket").agg(
+            F.count(F.when(fresh_row, 1)).alias("doc_count"),
+            F.sum(F.when(fresh_row, F.col("_bytes"))).alias("bytes"),
+            F.count(F.when(fresh_row & (F.col("status") == "failed"), 1)).alias("parse_failures"),
+            F.count(F.when(fresh_row & (F.col("status") == "rejected"), 1)).alias("rejected"),
+            F.sum(F.when(fresh_row, F.col("_wall_ms"))).alias("wall_ms"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_input_hash").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.xxhash64(F.col("_input_hash")).cast("decimal(38,0)")).alias("s2"),
+        ).collect()
+        # Partitions whose every row was carried booked their work in the
+        # run that produced them: doc_count 0 -> no lineage row (same rows
+        # the old anti-join produced).
+        lineage_stats = [
+            (int(r["_pid"]), (int(r["doc_count"]), int(r["bytes"] or 0),
+                              int(r["parse_failures"]), int(r["rejected"]),
+                              int(r["wall_ms"] or 0)))
+            for r in fused_rows if r["_pid"] is not None and r["doc_count"]]
+        bucket_sums = {str(r["_bucket"]): [int(r["n"]), str(r["s"]), str(r["s2"])]
+                       for r in fused_rows
+                       if r["_bucket"] is not None and r["n"]}
     for b in buckets:  # a wholesale-deleted bucket has zero rows: record it
         bucket_sums.setdefault(str(b), list(_EMPTY_SUM))
     docs = sum(v[0] for v in bucket_sums.values())
@@ -893,18 +1001,20 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
                                run_stats=run_stats)
     timings["commit_ms"] = int((time.perf_counter() - t0) * 1000)
 
-    # Lineage from the written files: prunes to the instrumentation columns,
-    # so this scan costs footer-reads + three narrow columns, not a re-run.
-    # Merge runs exclude the carried-forward rows — their extraction work
-    # (doc_count / wall_ms / bytes) was booked by the run that produced
-    # them; re-booking on every merge would inflate lineage totals without
-    # bound in a streaming deployment.
+    # Lineage rows come from the in-write accumulator (or the fused
+    # fallback job) — carried merge rows excluded in both: re-booking them
+    # on every merge would inflate lineage totals without bound in a
+    # streaming deployment.  Stamp them with the snapshot id the commit
+    # actually produced and write driver-side (metadata-sized, no Spark
+    # job — see _write_lineage_rows).
     t0 = time.perf_counter()
-    lineage_src = written
-    if carry_rows is not None:
-        lineage_src = written.join(carry_rows.select("doc_id"), "doc_id", "left_anti")
-    lineage = derive_lineage(lineage_src, run_id, snapshot_id)
-    lineage.write.parquet(os.path.join(root, "lineage", f"run={run_id}"), mode="overwrite")
+    _write_lineage_rows(
+        [{"run_id": run_id, "snapshot_id": int(snapshot_id),
+          "partition_id": int(pid), "doc_count": int(v[0]),
+          "bytes": int(v[1]), "parse_failures": int(v[2]),
+          "rejected": int(v[3]), "wall_ms": int(v[4])}
+         for pid, v in lineage_stats],
+        os.path.join(root, "lineage", f"run={run_id}"))
     timings["lineage_ms"] = int((time.perf_counter() - t0) * 1000)
     summary = {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": buckets,
                "docs": docs, "timings_ms": timings,

@@ -30,7 +30,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from .batch import INSTRUMENTATION_COLS, INSTRUMENTED_DDL, extract_batches, make_extract_kernel
+from .batch import (INSTRUMENTATION_COLS, INSTRUMENTED_DDL, MAX_DOC_BYTES,
+                    extract_batches, make_extract_kernel)
 
 SALT = 0x5EED  # fixed salt: decorrelates the partition key from other uses of xxhash64(doc_id)
 
@@ -51,7 +52,8 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
 
 def run_extraction(input_df: DataFrame, *, num_partitions: Optional[int] = None,
                    repartition: Optional[bool] = None,
-                   max_doc_bytes: Optional[int] = None) -> DataFrame:
+                   max_doc_bytes: Optional[int] = None,
+                   stats_acc=None) -> DataFrame:
     """Raw corpus → instrumented extraction output (lazy; no action taken).
 
     No shuffle by default: trust the scan/generator partitioning — the
@@ -59,13 +61,20 @@ def run_extraction(input_df: DataFrame, *, num_partitions: Optional[int] = None,
     Passing ``num_partitions`` (or ``repartition=True``) forces the salted
     shuffle first — for skewed/clustered inputs.  ``max_doc_bytes`` overrides
     the oversized-doc reject cap (batch.MAX_DOC_BYTES, the reference's
-    25 MiB upload limit).
+    25 MiB upload limit).  ``stats_acc`` (optional accumulator) makes the
+    kernel fold per-partition/per-bucket run stats into the write action
+    itself — see make_extract_kernel.
     """
     df = input_df
     if repartition or (repartition is None and num_partitions is not None):
         p = num_partitions or default_partitions(input_df.sparkSession)
         df = salted_repartition(df, p)
-    kernel = extract_batches if max_doc_bytes is None else make_extract_kernel(max_doc_bytes)
+    if max_doc_bytes is None and stats_acc is None:
+        kernel = extract_batches
+    else:
+        kernel = make_extract_kernel(
+            MAX_DOC_BYTES if max_doc_bytes is None else max_doc_bytes,
+            stats_acc=stats_acc)
     return df.mapInArrow(kernel, INSTRUMENTED_DDL)
 
 

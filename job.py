@@ -175,6 +175,7 @@ def main(argv=None) -> int:
     else:
         gen_p = args.gen_partitions or spark.sparkContext.defaultParallelism * 4
         inp = corpus_df(spark, args.n_docs, seed=args.seed, partitions=gen_p)
+    input_ms = int((time.perf_counter() - t0) * 1000)
 
     on_complete = None
     if args.callback_log:
@@ -246,7 +247,10 @@ def main(argv=None) -> int:
         # this run's driver wall into fused extract+write / summarize /
         # commit / lineage segments (100x plan-audit support).
         "extract_wall_ms_total": int(stats[3] or 0),
-        "stage_timings_ms": summary.get("timings_ms", {}),
+        # input_ms = source listing + schema resolution (or synth plan),
+        # timed so run_wall_sec fully partitions into named segments — the
+        # scaling study's fixed-cost leg can then be audited per component.
+        "stage_timings_ms": {"input_ms": input_ms, **summary.get("timings_ms", {})},
         "run_wall_sec": round(wall, 2),
         "docs_per_sec": round(summary["docs"] / wall, 2) if wall > 0 else None,
     }

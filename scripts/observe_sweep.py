@@ -1,18 +1,21 @@
 #!/usr/bin/env python3
-"""Observe-pivot vs summary-scan crossover sweep (r7 verdict #5).
+"""Run-stats accumulator vs fused post-write scan sweep (round 8).
 
-``_OBSERVE_BUCKET_CAP`` (sparkio/checkpoint.py) decides whether per-bucket
-summaries ride the extraction write as df.observe conditional aggregates
-(3 expressions per processed bucket in one CollectMetrics node — plan +
-codegen cost grows linearly with the bucket count, but zero extra jobs) or
-come from a post-write ``_bucket_summaries`` scan (one extra job of fixed
-shape, independent of bucket count).  The 64 cap was asserted from plan-cost
-reasoning; this sweep MEASURES the crossover: the same fixed corpus is
-committed into a fresh table at each bucket count with the cap forced to
-each mode, best-of-N walls per cell.
+Round-8 history: the per-bucket observe PIVOT this script originally
+swept (r7 verdict #5) measured as per-ROW cost and was retired — the
+measured record lives in BENCH/OBSERVE_SWEEP.md §"historical".  Its
+replacement is the kernel-side run-stats ACCUMULATOR
+(``_USE_STATS_ACC``, sparkio/checkpoint.py): lineage counters + bucket
+fingerprints fold into the extraction write itself (one numpy pass per
+batch, one accumulator add per task, observe cross-checked), with the
+degrade path being ONE fused groupingSets scan over the written files.
+This sweep measures acc vs scan the same way the pivot sweep did: same
+fixed corpus committed into a fresh table at each bucket count via
+``run_incremental``, knob forced to each mode, best-of-N walls.
 
 Usage: python3 scripts/observe_sweep.py [--n-docs 6000] [--repeats 2]
-Writes BENCH/OBSERVE_SWEEP.md and prints one JSON line per cell + a summary.
+Writes the round-8 section of BENCH/OBSERVE_SWEEP.md and prints one
+JSON line per cell + a summary.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ def main() -> None:
     ap.add_argument("--buckets", default=",".join(map(str, BUCKET_COUNTS)),
                     help="comma-separated bucket counts to sweep")
     ap.add_argument("--no-md", action="store_true",
-                    help="print cells only; don't rewrite BENCH/OBSERVE_SWEEP.md")
+                    help="print cells only; don't write the md section")
     args = ap.parse_args()
     bucket_counts = tuple(int(b) for b in args.buckets.split(","))
 
@@ -62,12 +65,13 @@ def main() -> None:
     run_incremental(spark, scan, os.path.join(scratch, "warm"), n_buckets=8,
                     num_partitions=args.cpus, run_id="warm")
 
-    cap0 = cp._OBSERVE_BUCKET_CAP
-    cells: dict[str, dict[int, float]] = {"pivot": {}, "scan": {}}
+    knob0 = cp._USE_STATS_ACC
+    cells: dict[str, dict[int, float]] = {"acc": {}, "scan": {}}
+    summarize: dict[str, dict[int, int]] = {"acc": {}, "scan": {}}
     try:
         for n_buckets in bucket_counts:
-            for mode, cap in (("pivot", 10**9), ("scan", -1)):
-                cp._OBSERVE_BUCKET_CAP = cap
+            for mode, use_acc in (("acc", True), ("scan", False)):
+                cp._USE_STATS_ACC = use_acc
                 walls, summarize_ms = [], []
                 for rep in range(args.repeats):
                     root = os.path.join(scratch, f"t{n_buckets}-{mode}-{rep}")
@@ -78,50 +82,41 @@ def main() -> None:
                     summarize_ms.append(s["timings_ms"]["summarize_ms"])
                     shutil.rmtree(root, ignore_errors=True)
                 cells[mode][n_buckets] = min(walls)
+                summarize[mode][n_buckets] = min(summarize_ms)
                 print(json.dumps({"buckets": n_buckets, "mode": mode,
                                   "wall_sec": min(walls), "samples": walls,
                                   "summarize_ms": summarize_ms}),
                       flush=True)
     finally:
-        cp._OBSERVE_BUCKET_CAP = cap0
+        cp._USE_STATS_ACC = knob0
         shutil.rmtree(scratch, ignore_errors=True)
         spark.stop()
 
-    # Crossover: largest bucket count where the pivot still wins (walls are
-    # best-of-N on a 2.4x-variance host — treat sub-5% deltas as a tie).
-    rows, crossover = [], None
+    rows = []
     for n in bucket_counts:
-        p, s = cells["pivot"][n], cells["scan"][n]
-        delta = (s - p) / s
-        verdict = "tie" if abs(delta) < 0.05 else ("pivot" if p < s else "scan")
-        if verdict != "scan":
-            crossover = n
-        rows.append((n, p, s, delta, verdict))
-    summary = {"pivot_wins_through": crossover,
-               "cells": {m: cells[m] for m in cells},
+        a, s = cells["acc"][n], cells["scan"][n]
+        delta = (s - a) / s
+        verdict = "tie" if abs(delta) < 0.05 else ("acc" if a < s else "scan")
+        rows.append((n, a, s, delta, verdict))
+    summary = {"cells": cells, "summarize_ms": summarize,
                "n_docs": args.n_docs, "repeats": args.repeats}
-    print(json.dumps({"observe_sweep": summary}))
+    print(json.dumps({"acc_vs_scan_sweep": summary}))
     if args.no_md:
         return
 
-    md = ["# Observe-pivot vs summary-scan crossover (r7 verdict #5)", "",
-          f"Fixed corpus: {args.n_docs} docs, local[{args.cpus}], "
-          f"best-of-{args.repeats} walls of a full `run_incremental` into a "
-          "fresh table at each bucket count, `_OBSERVE_BUCKET_CAP` forced to "
-          "each mode.  The pivot books 3 conditional aggregates per bucket "
-          "in one CollectMetrics node riding the extraction write (zero "
-          "extra jobs); the scan is one extra fixed-shape job.", "",
-          "| buckets | pivot wall (s) | scan wall (s) | scan-vs-pivot | winner |",
-          "|---|---|---|---|---|"]
-    for n, p, s, delta, verdict in rows:
-        md.append(f"| {n} | {p:.3f} | {s:.3f} | {delta:+.1%} | {verdict} |")
-    md += ["", f"Pivot wins (or ties) through **{crossover}** buckets on this "
-           "measurement; ties below 5% are within the host's documented "
-           "run-to-run variance."]
+    md = ["", f"## Round 8: accumulator vs fused scan "
+          f"({args.n_docs} docs, local[{args.cpus}], best-of-{args.repeats})", "",
+          "| buckets | acc wall (s) | scan wall (s) | scan-vs-acc | winner "
+          "| acc summarize_ms | scan summarize_ms |",
+          "|---|---|---|---|---|---|---|"]
+    for n, a, s, delta, verdict in rows:
+        md.append(f"| {n} | {a:.3f} | {s:.3f} | {delta:+.1%} | {verdict} "
+                  f"| {summarize['acc'][n]} | {summarize['scan'][n]} |")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "OBSERVE_SWEEP.md")
-    with open(out, "w") as f:
+    with open(out, "a") as f:
         f.write("\n".join(md) + "\n")
+    print(f"appended round-8 section to {out}")
 
 
 if __name__ == "__main__":

@@ -55,6 +55,35 @@ def test_lineage_rows_per_snapshot(spark, tmp_path):
     assert snap_ids == {"a": 1, "b": 2}
 
 
+def test_lineage_written_driver_side_single_file(spark, tmp_path):
+    """The lineage run dir is ONE driver-written parquet file (no Spark write
+    job — metadata-sized result, manifest-style IO), it round-trips through
+    spark.read.schema(LINEAGE_DDL), and a retried write with the same run_id
+    leaves no stale part files to double-count."""
+    from docling_service_spark.sparkio.checkpoint import _write_lineage_rows
+
+    root = str(tmp_path / "table")
+    inp = corpus_df(spark, N_DOCS, partitions=4)
+    run_incremental(spark, inp, root, n_buckets=4, num_partitions=4, run_id="a")
+    lin_dir = os.path.join(root, "lineage", "run=a")
+    files = [f for f in os.listdir(lin_dir) if f.endswith(".parquet")]
+    assert files == ["part-00000.parquet"]
+
+    store = SnapshotStore(root)
+    rows = store.read_lineage(spark).collect()
+    assert sum(r["doc_count"] for r in rows) == N_DOCS
+    assert all(r["run_id"] == "a" and r["snapshot_id"] == 1 for r in rows)
+
+    # Retry with a stale extra file present: overwrite semantics must hold.
+    stale = os.path.join(lin_dir, "part-00001-stale.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"junk")
+    _write_lineage_rows(rows, lin_dir)
+    files = [f for f in os.listdir(lin_dir) if f.endswith(".parquet")]
+    assert files == ["part-00000.parquet"]
+    assert sum(r["doc_count"] for r in store.read_lineage(spark).collect()) == N_DOCS
+
+
 def test_orphan_files_invisible_until_commit(spark, tmp_path):
     """Crash simulation: data files written without a manifest commit are
     ignored by readers (atomicity via CURRENT pointer swap)."""

@@ -41,6 +41,28 @@ def test_spark_builtin_parity(spark):
     assert got == expected
 
 
+def test_spark_long_parity_vectorized(spark):
+    """xxh64_long_spark_np (the kernel's vectorized bucket-fingerprint hash)
+    must equal Spark's xxhash64 on a BIGINT column — both against Spark
+    itself and against the byte-wise spec impl on the 8 LE bytes."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docling_service_spark.hashing import xxh64_long_spark_np
+
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 0x0123456789ABCDEF,
+            -0x0123456789ABCDEF]
+    got = xxh64_long_spark_np(np.array(vals, dtype=np.int64)).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    spark_got = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+    assert got == spark_got
+    M = 1 << 64
+    spec = [xxh64(struct.pack("<Q", v & (M - 1)), 42) for v in vals]
+    assert got == [v - M if v >= (1 << 63) else v for v in spec]
+
+
 def test_c_wheel_parity_when_available():
     # At deployment the C xxhash wheel takes over the hot path; digests must
     # be byte-identical to the pure-Python spec impl.

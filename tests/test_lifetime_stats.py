@@ -140,12 +140,12 @@ def test_legacy_manifest_falls_back_and_never_restarts_midstream(spark, tmp_path
     assert store.lifetime_totals(spark)["docs"] == N_DOCS + 1
 
 
-def test_bucket_pivot_cap_falls_back_to_summary_scan(spark, tmp_path, monkeypatch):
-    """Above _OBSERVE_BUCKET_CAP the per-bucket observe pivot is skipped
-    (advice r6: 3 aggregates/bucket in one CollectMetrics node grow the plan
-    linearly); bucket summaries must come out identical via the scan, and
+def test_stats_acc_disabled_falls_back_to_summary_scan(spark, tmp_path, monkeypatch):
+    """With the in-write run-stats accumulator disabled (the same degrade
+    the observe cross-check applies on any mismatch), bucket summaries and
+    lineage must come out identical via the fused post-write scan, and
     no-op upsert detection must keep working from them."""
-    monkeypatch.setattr(cp, "_OBSERVE_BUCKET_CAP", 2)
+    monkeypatch.setattr(cp, "_USE_STATS_ACC", False)
     root = str(tmp_path / "table")
     inp = corpus_df(spark, N_DOCS, partitions=4)
     run_incremental(spark, inp, root, n_buckets=N_BUCKETS,
@@ -162,6 +162,39 @@ def test_bucket_pivot_cap_falls_back_to_summary_scan(spark, tmp_path, monkeypatc
     # Summary-based no-op detection unaffected by the fallback path.
     r = run_upsert(spark, inp, root, n_buckets=N_BUCKETS, run_id="noop")
     assert r["snapshot_id"] is None and r["buckets"] == []
+
+
+def test_stats_acc_matches_scan_bit_for_bit(spark, tmp_path, monkeypatch):
+    """The kernel-side accumulator (primary) and the fused post-write scan
+    (fallback) must produce IDENTICAL bucket fingerprints and lineage rows —
+    the decimal hash sums included (the accumulator reimplements Spark's
+    xxhash64-of-long + decimal(38,0) sums in numpy/python).  wall_ms is the
+    one kernel-MEASURED field, so it cannot be bit-identical across the two
+    physical runs this test needs — it is compared for presence only here;
+    within a single run the observe cross-check in _process_and_commit
+    already pins acc-wall == column-wall exactly (a mismatch would have
+    forced the scan path and tripped the RuntimeWarning)."""
+    inp = corpus_df(spark, N_DOCS, partitions=4)
+
+    def run(root, use_acc):
+        monkeypatch.setattr(cp, "_USE_STATS_ACC", use_acc)
+        run_incremental(spark, inp, root, n_buckets=N_BUCKETS,
+                        num_partitions=4, run_id="r")
+        store = SnapshotStore(root)
+        lin = sorted(
+            (r["partition_id"], r["doc_count"], r["bytes"],
+             r["parse_failures"], r["rejected"], r["wall_ms"] >= 0)
+            for r in store.read_lineage(spark).collect())
+        return store.current_manifest(), lin
+
+    m_acc, lin_acc = run(str(tmp_path / "acc"), True)
+    m_scan, lin_scan = run(str(tmp_path / "scan"), False)
+    assert m_acc["bucket_sums"] == m_scan["bucket_sums"]
+    lt_acc, lt_scan = m_acc["lifetime_stats"], m_scan["lifetime_stats"]
+    assert {k: v for k, v in lt_acc.items() if k != "wall_ms"} \
+        == {k: v for k, v in lt_scan.items() if k != "wall_ms"}
+    assert lt_acc["wall_ms"] > 0 and lt_scan["wall_ms"] > 0
+    assert lin_acc == lin_scan and len(lin_acc) > 0
 
 
 def test_bucket_wholesale_upsert_rebooks_reprocessed_work(spark, tmp_path):
