@@ -35,7 +35,8 @@ from pyspark.sql.window import Window
 
 from .common import load
 from .ivf_centroids import FROZEN_CENTROIDS
-from .similarity import DIM, TOP_K, _dot
+from .similarity import (DIM, TOP_K, _dot, _make_group_pairs_fn, rank_topk,
+                         score_cosine_pairs)
 
 IVF_K = 16        # coarse clusters (DRIVER queries: pinned for static-oracle
                   # parity, the N_PLANES pattern — see ivf_k_for for the rule)
@@ -161,6 +162,134 @@ def _assign(emb, centroids: list[list[float]]):
         return emb.select("vec_id", "embedding",
                           best["c"].alias("cluster"), best["d"].alias("sq_dist"))
     return _assign_via_join(emb, centroids)
+
+
+# --- Arrow-native assignment kernels (round-9 optimization, guide §4.2) -----
+#
+# The literal-expression argmin is evaluated by Catalyst's INTERPRETED
+# higher-order-function path: k·DIM lambda invocations per row (plus a
+# duplicate evaluation under the isnotnull filter the optimizer inserts).
+# Measured at sf1 (20k vectors, k=16): q44 3.3 s — ~1 µs per element op.
+# The kernels below hand whole Arrow batches to NumPy instead; the fold
+# order is preserved exactly (sequential across dims, vectorized across
+# rows — see veckernels.py), so outputs are bit-identical and the DuckDB
+# oracles stay green.  The JVM expression paths remain (parity tests pin
+# the two bit-for-bit) and large-k library callers still get the
+# broadcast-join form.
+
+_ASSIGN_DDL_Q44 = "vec_id long, cluster long, sq_dist_e6 long"
+_ASSIGN_DDL_PASS = "vec_id long, cluster int, embedding array<float>"
+
+
+def _make_assign_arrow_kernel(centroids: list, passthrough: bool):
+    """mapInArrow kernel: frozen-quantizer argmin per batch.  ``passthrough``
+    keeps the raw embedding column (for downstream scoring/pairing);
+    otherwise emits q44's floor-scaled distance."""
+    C = [[float(x) for x in c] for c in centroids]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from docling_service_spark.queries.veckernels import (
+            assign_argmin, double_to_long, list_to_matrix)
+
+        Cm = np.array(C, dtype=np.float64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            X = list_to_matrix(b.column("embedding"), Cm.shape[1])
+            cl, d = assign_argmin(X, Cm)
+            if passthrough:
+                yield pa.RecordBatch.from_arrays(
+                    [b.column("vec_id"), pa.array(cl.astype(np.int32)),
+                     b.column("embedding")],
+                    ["vec_id", "cluster", "embedding"])
+            else:
+                e6 = double_to_long(np.floor(d * 1000000.0))
+                yield pa.RecordBatch.from_arrays(
+                    [b.column("vec_id"), pa.array(cl), pa.array(e6)],
+                    ["vec_id", "cluster", "sq_dist_e6"])
+
+    return kernel
+
+
+def _assign_arrow(emb, centroids: list, *, passthrough: bool = True):
+    """(vec_id, cluster[, embedding]) via the NumPy argmin kernel — the
+    zero-shuffle Arrow twin of ``_assign`` (bit-identical values)."""
+    ddl = _ASSIGN_DDL_PASS if passthrough else _ASSIGN_DDL_Q44
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _make_assign_arrow_kernel(centroids, passthrough), ddl)
+
+
+_ASSIGN2_DDL_PASS = "vec_id long, cluster long, embedding array<float>"
+
+
+def _make_assign2_arrow_kernel(coarse: list, fine_rows: list, k2: int,
+                               passthrough: bool):
+    """mapInArrow kernel for the frozen TWO-LEVEL quantizer: coarse argmin,
+    then fine argmin within the assigned cell (rows sorted by fine id, so
+    np.argmin's first-min = the (d, fine) struct-min tie-break).  Emits
+    q47's (vec_id, cluster = coarse·k₂ + fine, sq_dist_e6), or with
+    ``passthrough`` the (vec_id, cluster, embedding) shape q48 joins on."""
+    C1 = [[float(x) for x in w] for w in coarse]
+    FR = [(int(c), int(f), [float(x) for x in w]) for c, f, w in fine_rows]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from docling_service_spark.queries.veckernels import (
+            assign_argmin, double_to_long, list_to_matrix)
+
+        C1m = np.array(C1, dtype=np.float64)
+        cells: dict[int, list] = {}
+        for c, f, w in FR:
+            cells.setdefault(c, []).append((f, w))
+        fine_np = {
+            c: (np.array([f for f, _ in sorted(rows)], dtype=np.int64),
+                np.array([w for _, w in sorted(rows)], dtype=np.float64))
+            for c, rows in cells.items()
+        }
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            X = list_to_matrix(b.column("embedding"), C1m.shape[1])
+            c1, _ = assign_argmin(X, C1m)
+            n = len(c1)
+            cluster = np.empty(n, dtype=np.int64)
+            sqd = np.empty(n, dtype=np.float64)
+            for c in np.unique(c1):
+                m = c1 == c
+                fids, Cf = fine_np[int(c)]
+                fcl, fd = assign_argmin(X[m], Cf)
+                cluster[m] = int(c) * k2 + fids[fcl]
+                sqd[m] = fd
+            if passthrough:
+                yield pa.RecordBatch.from_arrays(
+                    [b.column("vec_id"), pa.array(cluster), b.column("embedding")],
+                    ["vec_id", "cluster", "embedding"])
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [b.column("vec_id"), pa.array(cluster),
+                     pa.array(double_to_long(np.floor(sqd * 1000000.0)))],
+                    ["vec_id", "cluster", "sq_dist_e6"])
+
+    return kernel
+
+
+def _assign2_frozen_arrow(emb, *, passthrough: bool = False):
+    """Frozen 4×4 two-level assignment as ONE zero-shuffle Arrow kernel —
+    replaces assign_ivf_2level's two groupBy(vec_id) shuffles for the
+    driver queries (the DataFrame-quantizer path stays for live/huge-k
+    quantizers).  Bit-identical to assign_ivf_2level on the frozen tables
+    (tests/test_veckernels.py)."""
+    from .ivf2_centroids import FROZEN2_COARSE, FROZEN2_FINE, FROZEN2_K2
+
+    kern = _make_assign2_arrow_kernel(FROZEN2_COARSE, FROZEN2_FINE, FROZEN2_K2,
+                                      passthrough)
+    ddl = _ASSIGN2_DDL_PASS if passthrough else _ASSIGN_DDL_Q44
+    return emb.select("vec_id", "embedding").mapInArrow(kern, ddl)
 
 
 _CENTROID_CACHE: dict[tuple, list] = {}
@@ -490,11 +619,10 @@ def q44_ivf_assignments(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
-    return _assign(emb, FROZEN_CENTROIDS).select(
-        "vec_id",
-        F.col("cluster").cast("bigint").alias("cluster"),
-        F.floor(F.col("sq_dist") * 1_000_000).cast("bigint").alias("sq_dist_e6"),
-    )
+    # r9: one zero-shuffle Arrow kernel replaces the interpreted k·DIM
+    # literal-fold argmin (bit-identical; JVM twin pinned by
+    # tests/test_veckernels.py).
+    return _assign_arrow(emb, FROZEN_CENTROIDS, passthrough=False)
 
 
 def _sql_quantizer_ctes() -> str:
@@ -539,7 +667,10 @@ def ivf_ann_topk(spark, sf_dir, centroids: list[list[float]]):
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
-    assigned = _assign(emb, centroids).select("vec_id", "embedding", "cluster")
+    # r9: Arrow-kernel assignment (bit-identical to _assign) for any
+    # driver-listed quantizer; the closure carries k·DIM doubles, which is
+    # exactly the footprint the list-of-centroids API already implies.
+    assigned = _assign_arrow(emb, centroids)
 
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
     if len(centroids) <= _MAX_EXPR_K:
@@ -568,20 +699,14 @@ def ivf_ann_topk(spark, sf_dir, centroids: list[list[float]]):
     cands = assigned.join(F.broadcast(routes), "cluster").select(
         "probe_id", "pe", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )
-    sim = _dot(F.col("pe"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    )
     # No dedup needed: a probe's nprobe routes are DISTINCT clusters and a
     # vector lives in exactly one cluster, so (probe_id, neighbor_id) pairs
     # cannot repeat — a dropDuplicates here was a redundant shuffle on the
-    # candidate set (round-2 verdict item #4).
-    scored = cands.withColumn("sim_e6", F.floor(sim * 1_000_000).cast("bigint"))
-    w = Window.partitionBy("probe_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("probe_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim_e6")
-    )
+    # candidate set (round-2 verdict item #4).  Scoring is the Arrow cosine
+    # kernel (r9): one NumPy pass instead of three interpreted folds per
+    # candidate, and the window shuffle that follows no longer carries the
+    # probe/candidate vectors.
+    return rank_topk(score_cosine_pairs(cands))
 
 
 def q45_ivf_ann_topk(spark, sf_dir):
@@ -661,12 +786,10 @@ def q47_ivf2_assignments(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
-    asg = assign_ivf_2level(emb, _frozen2_quantizer(spark))
-    return asg.select(
-        "vec_id",
-        F.col("cluster").cast("bigint").alias("cluster"),
-        F.floor(F.col("sq_dist") * 1_000_000).cast("bigint").alias("sq_dist_e6"),
-    )
+    # r9: ONE zero-shuffle Arrow kernel replaces assign_ivf_2level's two
+    # groupBy(vec_id) shuffles for the frozen quantizer (bit-identical;
+    # tests/test_veckernels.py pins it against the DataFrame path).
+    return _assign2_frozen_arrow(emb)
 
 
 def _sql_dist(a: str, b: str) -> str:
@@ -749,15 +872,20 @@ N_PROBE2 = 4  # fine cells searched per probe (of the nprobe₁·k₂ descended)
 
 
 def ivf2_ann_topk(spark, sf_dir, quant: IVF2Quantizer, *,
-                  n_probe1: int = N_PROBE1, n_probe2: int = N_PROBE2):
+                  n_probe1: int = N_PROBE1, n_probe2: int = N_PROBE2,
+                  _assigned=None):
     """Hierarchical-descent ANN against an explicit two-level quantizer.
     ``n_probe1 = k₁, n_probe2 = k₁·k₂`` degenerates to exhaustive search
     (== q40 brute force), which is the exactness gate in
-    tests/test_ivf2_ann.py."""
+    tests/test_ivf2_ann.py.  ``_assigned`` lets the frozen-quantizer driver
+    query (q48) substitute the zero-shuffle Arrow assignment for the
+    DataFrame-quantizer path; candidate scoring runs through the Arrow
+    cosine kernel either way (bit-identical to the JVM fold)."""
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
-    assigned = assign_ivf_2level(emb, quant).select("vec_id", "embedding", "cluster")
+    assigned = (_assigned if _assigned is not None
+                else assign_ivf_2level(emb, quant).select("vec_id", "embedding", "cluster"))
 
     probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("probe_id"), "embedding")
@@ -783,20 +911,9 @@ def ivf2_ann_topk(spark, sf_dir, quant: IVF2Quantizer, *,
     cands = assigned.join(F.broadcast(routes), "cluster").select(
         "probe_id", "pe", F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"))
-    sim = _dot(F.col("pe"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    )
     # As in q45, (probe_id, neighbor_id) cannot repeat: routes are DISTINCT
     # global clusters and a vector lives in exactly one of them.
-    scored = cands.withColumn("sim_e6", F.floor(sim * 1_000_000).cast("bigint"))
-    w = Window.partitionBy("probe_id").orderBy(F.col("sim_e6").desc(),
-                                               F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("probe_id", "neighbor_id",
-                F.col("rank").cast("bigint").alias("rank"), "sim_e6")
-    )
+    return rank_topk(score_cosine_pairs(cands))
 
 
 def q48_ivf2_ann_topk(spark, sf_dir):
@@ -806,8 +923,13 @@ def q48_ivf2_ann_topk(spark, sf_dir):
     carries a full DuckDB oracle (the q45/q47 recipe); live-trained descent
     stays available as ``ivf2_ann_topk(spark, sf_dir, train_ivf_2level(...))``
     and is pytest-covered (tests/test_ivf2_ann.py: exhaustive-degenerate
-    parity vs q40 + recall)."""
-    return ivf2_ann_topk(spark, sf_dir, _frozen2_quantizer(spark))
+    parity vs q40 + recall).  r9: assignment runs through the zero-shuffle
+    frozen-quantizer Arrow kernel (two groupBy(vec_id) shuffles removed)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    return ivf2_ann_topk(spark, sf_dir, _frozen2_quantizer(spark),
+                         _assigned=_assign2_frozen_arrow(emb, passthrough=True))
 
 
 def _oracle_q48() -> str:
@@ -873,13 +995,33 @@ def q46_ivf_cluster_pairs(spark, sf_dir):
     100 TB (partition by cluster ⇒ the self-join is co-located, no wide
     shuffle).  Frozen quantizer ⇒ fully static, fully oracled.
 
-    Same normalize-ONCE-before-the-join discipline as q42, INCLUDING its
-    join barrier: inv_norm referenced only inside the transform lambda gets
-    CollapseProject-inlined and the DIM-element fold re-evaluates per
-    element (O(DIM²)/row — the trap similarity.py documents); q42 escapes
-    because a join sits between the withColumn and the transform, so this
-    query keeps the identical cluster⋈norm shape rather than a fused
-    single-projection one."""
+    Round-9 shape (guide §2.3/§4.2): ONE Arrow kernel assigns every vector
+    its coarse cluster (no interpreted argmin folds), the raw float32
+    embedding shuffles ONCE on the cluster key, and a per-cluster
+    ``applyInPandas`` kernel normalizes + scores all (id_a < id_b) pairs in
+    NumPy with the threshold applied in-kernel — the quadratic pair set
+    never materializes as JVM rows and below-threshold pairs never cross
+    the Python→JVM boundary.  Bit-identical to the JVM join+fold path
+    (kept as ``_q46_jvm`` for the parity test)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    assigned = _assign_arrow(emb, FROZEN_CENTROIDS)
+    return assigned.groupBy("cluster").applyInPandas(
+        _make_group_pairs_fn(SEMDEDUP_SIM_E6, "cluster"),
+        schema="id_a long, id_b long, cluster long, sim_e6 long")
+
+
+def _q46_jvm(spark, sf_dir):
+    """The pre-round-9 JVM expression path — q46's parity twin
+    (tests/test_veckernels.py pins the two bit-for-bit).
+
+    Same normalize-ONCE-before-the-join discipline as the old q42,
+    INCLUDING its join barrier: inv_norm referenced only inside the
+    transform lambda gets CollapseProject-inlined and the DIM-element fold
+    re-evaluates per element (O(DIM²)/row — the trap similarity.py
+    documents); the join between the withColumn and the transform keeps
+    the cluster⋈norm shape rather than a fused single-projection one."""
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )

@@ -63,25 +63,97 @@ def _dot(a, b):
     )
 
 
+# --- Arrow-native scoring/pairing kernels (round-9 optimization) -------------
+#
+# The per-pair cosine folds above are evaluated by Catalyst's INTERPRETED
+# higher-order-function path (~1 µs per element op measured at sf1) — the
+# dominant cost of q40/q42/q43/q45/q46/q48.  These kernels hand whole Arrow
+# batches to NumPy with the IDENTICAL fold order (sequential across dims,
+# vectorized across rows — veckernels.py), so results are bit-identical and
+# the static DuckDB oracles stay green.  JVM twins are kept for parity tests.
+
+_SCORE_DDL = "probe_id long, neighbor_id long, sim_e6 long"
+
+
+def _cosine_score_batches(batches):
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_service_spark.queries.veckernels import (
+        cosine_sim_e6, double_to_long, list_to_matrix)
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        P = list_to_matrix(b.column("pe"), DIM)
+        C = list_to_matrix(b.column("ce"), DIM)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = double_to_long(cosine_sim_e6(P, C))
+        yield pa.RecordBatch.from_arrays(
+            [b.column("probe_id"), b.column("neighbor_id"), pa.array(s)],
+            ["probe_id", "neighbor_id", "sim_e6"])
+
+
+def score_cosine_pairs(cands):
+    """(probe_id, pe, neighbor_id, ce) → (probe_id, neighbor_id, sim_e6):
+    the floor-scaled cosine expression as one NumPy pass per Arrow batch.
+    Also narrows the window shuffle that follows — the probe/candidate
+    vectors no longer flow past the scoring."""
+    return cands.select("probe_id", "neighbor_id", "pe", "ce").mapInArrow(
+        _cosine_score_batches, _SCORE_DDL)
+
+
+def rank_topk(scored, top_k: int = TOP_K):
+    """The shared top-k tail: rank per probe by (sim desc, neighbor asc)."""
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim_e6").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("probe_id", "neighbor_id",
+                F.col("rank").cast("bigint").alias("rank"), "sim_e6")
+    )
+
+
+def _make_group_pairs_fn(threshold_e6: int, cluster_col: str | None):
+    """applyInPandas factory: all same-group (id_a < id_b) pair sims over
+    raw float32 embeddings — normalize-once then the blocked sequential-fold
+    pair kernel (veckernels.pair_sims_e6), bit-identical to the JVM
+    join+fold including the NaN→0 floor rule."""
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from docling_service_spark.queries.veckernels import (
+            list_to_matrix, pair_sims_e6, seq_inv_norm)
+
+        pdf = pdf.sort_values("vec_id", kind="stable")
+        ids = pdf["vec_id"].to_numpy()
+        X = list_to_matrix(pdf["embedding"], DIM)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            N = X * seq_inv_norm(X)[:, None]
+            a, b, s = pair_sims_e6(ids, N, threshold_e6)
+        data = {"id_a": a, "id_b": b}
+        if cluster_col is not None:
+            data[cluster_col] = np.full(
+                len(a), np.int64(pdf[cluster_col].iloc[0]), dtype=np.int64)
+        data["sim_e6"] = s
+        return pd.DataFrame(data)
+
+    return fn
+
+
 def q40_cosine_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").cast("bigint").alias("probe_id"), F.col("embedding").alias("pe")
     )
-    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    sim = _dot(F.col("pe"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    )
-    scored = (
+    cands = emb.select(F.col("vec_id").cast("bigint").alias("neighbor_id"),
+                       F.col("embedding").alias("ce"))
+    scored = score_cosine_pairs(
         cands.join(F.broadcast(probes))  # scan candidates once; probes broadcast
-        .withColumn("sim_e6", F.floor(sim * 1000000).cast("bigint"))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("probe_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim_e6")
-    )
+    return rank_topk(scored)
 
 
 _SQL_DOT = (
@@ -170,9 +242,61 @@ FROM embeddings
 """
 
 
-def lsh_bucketed_pairs(emb, *, n_planes: int = N_PLANES):
-    """IVF/LSH-style ANN: candidates restricted to same-bucket pairs —
-    the join-based scale path (bucket key is the shuffle key).
+_BUCKET_DDL = "vec_id long, bucket long, embedding array<float>"
+
+
+def _make_bucket_arrow_kernel(n_planes: int):
+    """mapInArrow kernel: sign-random-projection bucket per vector (the
+    NumPy twin of bucket_column, identical fold order) with the raw
+    embedding passed through for the downstream pair kernel."""
+    W = [[float(hyperplane_weights(i, j)) for j in range(n_planes)]
+         for i in range(DIM)]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from docling_service_spark.queries.veckernels import (
+            list_to_matrix, lsh_bucket_ids)
+
+        Wm = np.array(W, dtype=np.float64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            X = list_to_matrix(b.column("embedding"), DIM)
+            bucket = lsh_bucket_ids(X, Wm)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(bucket), b.column("embedding")],
+                ["vec_id", "bucket", "embedding"])
+
+    return kernel
+
+
+def lsh_bucketed_pairs(emb, *, n_planes: int = N_PLANES, min_sim_e6: int = 0):
+    """IVF/LSH-style ANN: candidates restricted to same-bucket pairs.
+
+    Round-9 shape (guide §2.3/§4.2): ONE Arrow kernel computes every
+    vector's bucket (no interpreted projection folds), the raw float32
+    embedding shuffles ONCE on the bucket key (half the bytes of the old
+    normalized-double column), and a per-bucket ``applyInPandas`` kernel
+    normalizes + scores all (id_a < id_b) pairs in NumPy — the quadratic
+    pair set never materializes as JVM rows.  Values are bit-identical to
+    the JVM join+fold path (kept below as ``_lsh_bucketed_pairs_jvm`` and
+    pinned by tests/test_veckernels.py).  ``min_sim_e6`` pushes a caller's
+    similarity threshold (e.g. q43's near-dup cut) into the kernel so
+    below-threshold pairs never cross the Python→JVM boundary.
+    ``n_planes`` must track corpus size (``n_planes_for``) to keep
+    per-bucket pair counts flat — see module header."""
+    b = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"), "embedding") \
+        .mapInArrow(_make_bucket_arrow_kernel(n_planes), _BUCKET_DDL)
+    return b.groupBy("bucket").applyInPandas(
+        _make_group_pairs_fn(min_sim_e6, None),
+        schema="id_a long, id_b long, sim_e6 long")
+
+
+def _lsh_bucketed_pairs_jvm(emb, *, n_planes: int = N_PLANES):
+    """The pre-round-9 JVM expression path — the parity twin of
+    lsh_bucketed_pairs (bit-for-bit; tests/test_veckernels.py).
 
     Vectors are L2-normalized ONCE before the self-join, so the per-pair
     expression is a single 64-element dot product instead of three folds —
@@ -306,9 +430,12 @@ def q43_embedding_near_dup_keepers(spark, sf_dir):
     is a cheap aggregate over the already-materialized checkpoint.  Exiting
     the loop unconverged raises instead of silently returning labels that
     diverge from the oracle."""
-    pairs = q42_lsh_bucketed_neighbors(spark, sf_dir).filter(
-        F.col("sim_e6") >= NEAR_DUP_SIM_E6
-    )
+    # Same pair generation as q42, with the near-dup threshold pushed into
+    # the pair kernel (r9): below-threshold pairs never leave the per-bucket
+    # NumPy pass — identical rows to q42(...).filter(sim_e6 >= threshold).
+    pairs = lsh_bucketed_pairs(
+        load(spark, sf_dir, "embeddings"), n_planes=N_PLANES,
+        min_sim_e6=NEAR_DUP_SIM_E6)
     emb = load(spark, sf_dir, "embeddings").select(F.col("vec_id").cast("bigint").alias("vec_id"))
     labels, _rounds = connected_components(emb, pairs)
     return labels
