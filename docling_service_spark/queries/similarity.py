@@ -538,10 +538,10 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
 
     def _materialize(df, *, pin: bool = False):
         # Sets ``_state["spilled"]``: True when the materializing action was
-        # the parquet write (which fulfills any Observation attached to
-        # ``df`` — the convergence count rides it, one less job per round);
-        # False on the localCheckpoint path, which does not reliably fire
-        # the listener, so the caller keeps the explicit aggregate there.
+        # the parquet write, False on the localCheckpoint path.  Both fulfil
+        # an Observation attached to ``df`` on Spark 4.1 (measured, r9), so
+        # the convergence count rides the round's single action either way;
+        # _observed_changed keeps a bounded-wait fallback.
         _state["spilled"] = False
         if _state["ckdir"] is None:
             if not pin:
@@ -601,9 +601,23 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
         return out
 
     _t0 = _time.perf_counter()
+    # Symmetrize via explode, not union: the two union branches each
+    # re-evaluate the (expensive) pair query inside the pin job — explode
+    # emits both directions from ONE evaluation (r9).  The pin also appends
+    # one SELF-LOOP per vertex: the round's ``least(own, neighbor-min)``
+    # then collapses into the single neighbor-min aggregation (the self-loop
+    # contributes the vertex's own label), removing the per-round
+    # labels⟕neigh join entirely — per-round fixed latency is the cost model
+    # of this loop (rounds × job latency, not data volume), so one less
+    # join per round is a direct wall saving at every scale.  |edges| grows
+    # by |V|, bounded and one-time.
     edges = _materialize(
-        pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer"))
-        .unionByName(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer"))),
+        pairs.select(F.explode(F.array(
+            F.struct(F.col("id_a").alias("vec_id"), F.col("id_b").alias("peer")),
+            F.struct(F.col("id_b").alias("vec_id"), F.col("id_a").alias("peer")),
+        )).alias("e")).select("e.vec_id", "e.peer")
+        .unionByName(vertices.select(F.col("vec_id"),
+                                     F.col("vec_id").alias("peer"))),
         pin=True,  # the edge pin doesn't count toward the round-loop guard
     )  # pin the edge set; the pair query never re-runs
     if telemetry is not None:
@@ -635,6 +649,30 @@ def connected_components(vertices, pairs, *, max_rounds: int = MAX_CC_ROUNDS,
     return labels, rounds
 
 
+def _observed_changed(obs, timeout_sec: float = 10.0):
+    """Read an Observation's ``chg`` with a bounded wait.  ``Observation.get``
+    blocks until the listener fires; if the materializing action did not
+    route through the listener (not observed on Spark 4.1, but the old
+    localCheckpoint caveat earned a guard) this returns None after
+    ``timeout_sec`` and the caller falls back to an explicit aggregate."""
+    import threading
+
+    res: dict = {}
+
+    def _get():
+        try:
+            res["v"] = obs.get["chg"]
+        except Exception:  # pragma: no cover - surfaced via fallback
+            pass
+
+    th = threading.Thread(target=_get, daemon=True)
+    th.start()
+    th.join(timeout_sec)
+    if "v" in res:
+        return int(res["v"] or 0)
+    return None
+
+
 def _propagate(edges, labels, max_rounds, _materialize, _state, telemetry):
     import time as _time
 
@@ -643,25 +681,32 @@ def _propagate(edges, labels, max_rounds, _materialize, _state, telemetry):
     for _ in range(max_rounds):
         rounds += 1
         _rt0 = _time.perf_counter()
-        neigh = (
+        # ONE join + ONE aggregation per step (r9): the edge pin carries a
+        # self-loop per vertex, so min(peer_keeper) over a vertex's edge
+        # rows IS least(own keeper, neighbor-min) — no separate labels⟕neigh
+        # join, no coalesce.  old_keeper (for the convergence count) is the
+        # self-loop row's peer_keeper, recovered with a conditional min in
+        # the same aggregation.
+        stepped = (
             edges.join(labels.select(F.col("vec_id").alias("peer"),
                                      F.col("keeper_id").alias("peer_keeper")), "peer")
-            .groupBy("vec_id").agg(F.min("peer_keeper").alias("nmin"))
+            .groupBy("vec_id")
+            .agg(F.min("peer_keeper").alias("k1"),
+                 F.min(F.when(F.col("peer") == F.col("vec_id"),
+                              F.col("peer_keeper"))).alias("old_keeper"))
         )
-        stepped = (
-            labels.join(neigh, "vec_id", "left")
-            .select("vec_id",
-                    F.least(F.col("keeper_id"), F.coalesce(F.col("nmin"), F.col("keeper_id")))
-                    .alias("k1"),
-                    F.col("keeper_id").alias("old_keeper"))
-        )
-        # Pointer jump: label-of-label (k1 is itself a vec_id, so the current
-        # labels table gives its label) — compresses label chains.  A SECOND
-        # hop per round (label³) was measured at sf1 and REVERTED: the
-        # convergence tail is a slow neighbor-min wavefront (changed counts
-        # 4,3,2,2,2,3 over rounds 14-19, identical with one hop or two), so
-        # the extra join bought zero rounds for +~10% per-round cost.
-        jump = labels.select(F.col("vec_id").alias("k1"), F.col("keeper_id").alias("k1_keeper"))
+        # Pointer jump THROUGH THIS ROUND'S mapping (r9): k1 is itself a
+        # vec_id, and ``stepped`` maps every vertex to its post-neighbor-min
+        # label, so composing stepped with itself applies v → m[m[v]] on the
+        # FRESH mapping — the previous form jumped through the PREVIOUS
+        # round's labels (m_prev[m_new[v]]), one round stale.  Same exact
+        # fixpoint (per-component min; tests/test_connected_components.py),
+        # same join count, measured at sf1: 20 → 18 rounds.  The residual
+        # tail (changed 2-5/round) is the neighbor-min WAVEFRONT along long
+        # graph paths — information moves one edge per round no matter how
+        # labels are compressed — which is why r6's extra label³ hop bought
+        # nothing and was reverted.
+        jump = stepped.select(F.col("vec_id").alias("k1"), F.col("k1").alias("k1_keeper"))
         flagged = (
             stepped.join(jump, "k1", "left")
             .select("vec_id",
@@ -673,9 +718,13 @@ def _propagate(edges, labels, max_rounds, _materialize, _state, telemetry):
         obs = Observation(f"cc-chg-{rounds}-{id(flagged)}")
         flagged = flagged.observe(obs, F.sum("chg").cast("bigint").alias("chg"))
         flagged = _materialize(flagged)  # the round's single materializing action
-        if _state["spilled"]:
-            changed = int(obs.get["chg"] or 0)
-        else:
+        # r9: the Observation fires on BOTH materialize paths in Spark 4.1
+        # (measured — the eager localCheckpoint runs a normal job through
+        # the listener), so the convergence count rides the round's single
+        # action; the explicit aggregate remains only as a bounded-wait
+        # fallback in case a future Spark stops firing it.
+        changed = _observed_changed(obs)
+        if changed is None:  # pragma: no cover - listener regression guard
             changed = flagged.agg(F.sum("chg")).collect()[0][0] or 0
         labels = flagged.select("vec_id", "keeper_id")
         if telemetry is not None:

@@ -112,6 +112,15 @@ def _fold_bucket_sums(local: dict, bucket_arr: pa.Array, hash_arr: pa.Array) -> 
 
     from ..hashing import xxh64_long_spark_np
 
+    if bucket_arr.null_count or hash_arr.null_count:
+        # A null passthrough value would round-trip float→NaN→INT64_MIN in
+        # the astype below and silently corrupt the bucket fingerprints
+        # (advice r8).  Prepared inputs never carry null passthrough
+        # columns; if one ever does, SKIP this batch's bucket fold — the
+        # accumulator's bucket-count total then disagrees with the write's
+        # observe metrics and the caller routes the run to the exact
+        # post-write scan (checkpoint acc_ok cross-check).
+        return
     b = bucket_arr.to_numpy(zero_copy_only=False).astype(np.int64)
     h = hash_arr.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq, inv = np.unique(b, return_inverse=True)

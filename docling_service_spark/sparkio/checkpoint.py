@@ -967,7 +967,11 @@ def _process_and_commit(spark, store, prepared, root, buckets, run_id, *,
                               int(r["parse_failures"]), int(r["rejected"]),
                               int(r["wall_ms"] or 0)))
             for r in fused_rows if r["_pid"] is not None and r["doc_count"]]
-        bucket_sums = {str(r["_bucket"]): [int(r["n"]), str(r["s"]), str(r["s2"])]
+        # ``or 0``: a bucket whose _input_hash is all-null (n > 0) must
+        # store "0", not the literal string "None" (advice r8 — the old
+        # observe path guarded the same way).
+        bucket_sums = {str(r["_bucket"]): [int(r["n"]), str(r["s"] or 0),
+                                           str(r["s2"] or 0)]
                        for r in fused_rows
                        if r["_bucket"] is not None and r["n"]}
     for b in buckets:  # a wholesale-deleted bucket has zero rows: record it

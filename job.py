@@ -262,17 +262,25 @@ def main(argv=None) -> int:
     if merge_prepared is not None:
         merge_prepared.unpersist()
     if args.compact:
-        from docling_service_spark.sparkio.checkpoint import compact, compact_lineage
+        from docling_service_spark.sparkio.checkpoint import (
+            SnapshotConflictError, compact, compact_lineage)
 
-        c = compact(spark, args.output, max_live_runs=args.compact_max_runs,
-                    scope=args.compact_scope, on_complete=on_complete)
-        report["compact"] = {k: c[k] for k in
-                             ("snapshot_id", "runs_before", "runs_after")}
-        cl = compact_lineage(spark, args.output,
-                             max_lineage_runs=args.compact_lineage_max_runs,
-                             on_complete=on_complete)
-        report["compact_lineage"] = {k: cl[k] for k in
-                                     ("snapshot_id", "runs_before", "runs_after")}
+        # The run's own commit already succeeded; a concurrent writer racing
+        # the post-commit maintenance must not abort the process and lose
+        # the run report callers parse from stdout (advice r8).  Record the
+        # conflict and keep going.
+        try:
+            c = compact(spark, args.output, max_live_runs=args.compact_max_runs,
+                        scope=args.compact_scope, on_complete=on_complete)
+            report["compact"] = {k: c[k] for k in
+                                 ("snapshot_id", "runs_before", "runs_after")}
+            cl = compact_lineage(spark, args.output,
+                                 max_lineage_runs=args.compact_lineage_max_runs,
+                                 on_complete=on_complete)
+            report["compact_lineage"] = {k: cl[k] for k in
+                                         ("snapshot_id", "runs_before", "runs_after")}
+        except SnapshotConflictError as exc:
+            report["compact_conflict"] = str(exc)
     if args.vacuum_keep is not None:
         # After --compact the superseded dirs become vacuum-eligible once
         # the retained manifests referencing them expire.
