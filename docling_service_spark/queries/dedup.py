@@ -18,7 +18,7 @@ from functools import reduce
 
 from pyspark.sql import functions as F
 
-from .common import load, spread
+from .common import load, load_docs_spread
 
 PAIR_LIMIT = 120      # doc subset for the quadratic-oracle queries
 MINHASH_K = 8         # minhash functions
@@ -80,7 +80,7 @@ def q30_exact_dedup_groups(spark, sf_dir):
     """Exact dedup on a normalized prefix key; groups with >1 member are the
     duplicate clusters (dropDuplicates keeps min doc_id = first-writer-wins,
     reference r2_migrate_xxhash.py:256-273)."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load_docs_spread(spark, sf_dir)
     key = F.md5(F.substring(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, 24))
     return (
         docs.select(key.alias("dedup_key"), "doc_id")
@@ -229,9 +229,10 @@ def _minhash_sigs(spark, sf_dir, limit=None):
         docs = docs.filter(F.col("doc_id") < limit)
     else:
         # Full-table path (q33): defuse the unsplittable-scan serial chain
-        # (common.spread docstring).  The PAIR_LIMIT paths (q31/q32) skip
-        # it — spreading a 120-doc input costs more than the serial work.
-        docs = spread(docs)
+        # (common.spread docstring, incl. the size gate).  The PAIR_LIMIT
+        # paths (q31/q32) skip it — spreading a 120-doc input costs more
+        # than the serial work.
+        docs = load_docs_spread(spark, sf_dir)
     base = (_hash60(F.col("shingle")) % F.lit(MH_PRIME)).alias("h")
     sh = _shingle_rows(docs).select("doc_id", base)
     aggs = [
@@ -314,7 +315,7 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 def q34_simhash(spark, sf_dir):
     """16-bit SimHash over distinct tokens: explode → per-bit signed vote →
     reassemble.  One shuffle (groupBy doc_id)."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load_docs_spread(spark, sf_dir)
     tok = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.explode(F.array_distinct(_tokens())).alias("tok"),

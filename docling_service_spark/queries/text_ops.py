@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .common import load, spread
+from .common import load, load_docs_spread
 
 # --- q20: token counting --------------------------------------------------------
 
@@ -43,7 +43,7 @@ FROM documents
 def q21_quality_score(spark, sf_dir):
     """Length / alpha-ratio / mean-token-length features, basis-point scaled.
     The composite mirrors classic corpus-quality filters (C4/Gopher style)."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load_docs_spread(spark, sf_dir)
     length = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
@@ -86,7 +86,7 @@ def _hits(col, marker):
 def q22_langid(spark, sf_dir):
     """N-gram/stopword-marker language guess; ties break by fixed preference
     order (en > fr > es > de > zh) so the result is deterministic."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load_docs_spread(spark, sf_dir)
     padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
     cols = {lang: _hits(padded, m).cast("bigint").alias(f"hits_{lang}") for lang, m in _MARKERS.items()}
     scored = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang", *cols.values())
@@ -125,7 +125,7 @@ FROM hits
 def q23_fingerprint(spark, sf_dir):
     """Content fingerprint over normalized text (case/punct/whitespace-
     insensitive) — the exact-dedup key for noisy corpora."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load_docs_spread(spark, sf_dir)
     norm = F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -184,7 +184,7 @@ def q24_chunking(spark, sf_dir):
     Tokens materialize ONCE as a column (lambda-inlining trap); chunking
     itself is ``chunk_token_arrays`` — see its docstring for the
     slice-before-explode size analysis."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load_docs_spread(spark, sf_dir)
     toks = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
@@ -224,7 +224,7 @@ _URL_RE = "https?://[^ ]+"
 
 
 def q25_redaction(spark, sf_dir):
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load_docs_spread(spark, sf_dir)
     dirty = F.concat(
         "text",
         F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
@@ -271,7 +271,7 @@ def q26_vocabulary(spark, sf_dir):
     (tf DESC, token ASC) for a deterministic cut.  The shuffle key is the
     token — uniform enough after the explode that no salting is needed; at
     100 TB this is the canonical word-count shape."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = load_docs_spread(spark, sf_dir)
     tok = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("token"),

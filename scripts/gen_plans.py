@@ -17,13 +17,19 @@ SF_DIR = "/root/testdata/sf0.1"
 # (query name, note) — order = document order.
 PLAN_NOTES = [
     ("q61_extract_html_docs",
-     "Flagship extraction: columnar scan feeds MapInArrow directly — ZERO Exchange "
-     "before the Python stage (size-based splits are the partitioner; a repartition "
-     "would pay the nested-row codec toll). ReadSchema pruned to (doc_id, text)."),
+     "Flagship extraction over the DRIVER's documents table: one salted "
+     "Exchange spreads the corpus before MapInArrow (r9) — the driver table "
+     "is ONE file with ONE row group, so the no-shuffle scan fed the whole "
+     "extraction to a single task (measured 5.5 s serial vs 1.8 s spread at "
+     "50k docs); these 1-span rows make the nested-row codec toll ~0.2 s, "
+     "dwarfed by the parallelism win.  Library ingestion over splittable "
+     "corpora keeps the zero-Exchange shape (pipeline.run_extraction "
+     "default + 4 MB row groups on our own writes)."),
     ("q62_extract_spreadsheet",
-     "Spreadsheet-family extraction (sheet_grid path): same zero-Exchange shape as "
-     "q61 — the JVM builds the workbook JSON (to_json) inside the scan projection, "
-     "MapInArrow consumes it straight off the columnar scan."),
+     "Spreadsheet-family extraction (sheet_grid path): same spread-then-"
+     "extract shape as q61 (r9) — the JVM builds the workbook JSON "
+     "(to_json), the salted Exchange spreads the unsplittable driver table, "
+     "MapInArrow consumes the spread batches."),
     ("q01_pricing_summary",
      "Single Exchange, partial+final HashAggregate, 5/11 lineitem columns read, "
      "filter pushed to the scan."),
@@ -32,7 +38,9 @@ PLAN_NOTES = [
      "shuffles for dims; one Exchange for the final aggregate only."),
     ("q40_cosine_topk",
      "Brute-force cosine top-k: probes broadcast, candidates stream through one "
-     "scan; rank via one window over probe_id."),
+     "scan; r9: scoring is the Arrow cosine kernel (bit-identical NumPy "
+     "fold) and the rank window's Exchange carries only (probe, neighbor, "
+     "sim), never the vectors."),
     ("q03_dedup_first_wins",
      "Exact dedup: one Exchange on the hash key (uniform by construction), "
      "row_number window picks the first writer."),
@@ -52,12 +60,16 @@ PLAN_NOTES = [
      "MinHash band join over the FULL table: one base hash per shingle + K "
      "universal-hash min-aggregates (single shuffle), explode to (band, key), "
      "self-join on the band key — candidate generation touches only bucket "
-     "collisions, never the full pair space.  This is the EXECUTED AQE plan: "
+     "collisions, never the full pair space.  r9: a deterministic "
+     "xxhash64(doc_id) spread follows the scan — the driver table is one "
+     "unsplittable row group and the shingle chain otherwise runs in ONE "
+     "task (3 s serial at sf1).  This is the EXECUTED AQE plan: "
      "at sf0.1 one side broadcasts at runtime; past the broadcast threshold "
      "AQE picks SMJ and the two identical signature subplans collapse under "
      "the ReuseExchange rule."),
     ("q45_ivf_ann_topk",
-     "IVF ANN search (frozen quantizer): probe routing is a Spark expression "
+     "IVF ANN search (frozen quantizer; r9 kernels for assignment + scoring, "
+     "bit-identical): probe routing is a Spark expression "
      "— distances to the k centroid LITERALS sort as (dist, idx) structs and "
      "the first nprobe explode into a k-bounded route table (N_QUERIES x "
      "N_PROBE rows) that broadcasts safely at any corpus size; the exact "
@@ -77,21 +89,22 @@ PLAN_NOTES = [
      "Exchange on user_id — no distinct-values pre-job (pivot() would add a whole "
      "extra action to discover the domain)."),
     ("q64_extract_flowdoc",
-     "Flow-family extraction (.docx analog): same zero-Exchange shape as q61 — "
-     "the five flow_block spans are built JVM-side inside the scan projection "
-     "and MapInArrow consumes them straight off the columnar scan."),
+     "Flow-family extraction (.docx analog): same spread-then-extract shape "
+     "as q61 (r9) — five flow_block spans built JVM-side, salted Exchange, "
+     "MapInArrow."),
     ("q44_ivf_assignments",
-     "Frozen-quantizer assignment: ZERO shuffles — 16 centroid distances + "
-     "struct argmin evaluated per row inside one projection over the scan "
-     "(centroids are literals, never a join side); scales embarrassingly."),
+     "Frozen-quantizer assignment: ZERO shuffles — Scan feeds ONE MapInArrow "
+     "whose NumPy argmin kernel is bit-identical to the old literal-"
+     "expression fold (r9: the interpreted HOF path cost ~1 us/element and "
+     "evaluated the argmin twice, under the optimizer's isnotnull filter "
+     "AND the projection; the kernel removes both).  Scales embarrassingly."),
     ("q47_ivf2_assignments",
-     "Two-level frozen-quantizer assignment: coarse argmin via a 4-row "
-     "broadcast join + map-side struct-min aggregate, then the fine stage "
-     "joins the 16-row fine-centroid table on the coarse key and takes a "
-     "second struct-min — at 10^12 vectors both centroid tables stay "
-     "DataFrames (zero driver state), the fine join is k2-rows-per-key and "
-     "skew-free, and the whole descent costs n*(k1+k2) distance folds "
-     "instead of flat n*k."),
+     "Two-level frozen-quantizer assignment: ONE zero-shuffle MapInArrow "
+     "kernel descends coarse-then-fine per batch (r9 — the DataFrame path "
+     "paid TWO groupBy(vec_id) shuffles of the embedding column; plan went "
+     "10 Exchanges to 0), bit-identical tie-breaks at both levels.  The "
+     "DataFrame-quantizer path (assign_ivf_2level) remains the 10^12-vector "
+     "story: both centroid tables stay DataFrames, zero driver state."),
     ("q48_ivf2_ann_topk",
      "Hierarchical-descent ANN: probes take nprobe1 nearest of the 4-row "
      "broadcast COARSE table, the tiny coarse-route set then broadcasts "
@@ -100,7 +113,9 @@ PLAN_NOTES = [
      "nprobe2-cluster route table broadcasts into the assigned vectors — "
      "a partition-prune on cluster at 100 TB.  Per-probe routing work is "
      "k1 + nprobe1*k2 ~ (1+nprobe1)*sqrt(k) distance folds vs q45's flat "
-     "k; exact cosine top-k runs only within routed clusters."),
+     "k.  r9: assignment is the zero-shuffle frozen-quantizer Arrow kernel "
+     "and candidate scoring is the Arrow cosine kernel, so the rank "
+     "window's Exchange carries only (probe, neighbor, sim)."),
     ("q24_chunking",
      "Sliding-window chunking: tokens materialize once, chunks slice INSIDE "
      "a transform and posexplode — ZERO shuffles, output-sized bytes "
@@ -111,17 +126,23 @@ PLAN_NOTES = [
      "map-side partial aggregation (tf count + df distinct), deterministic "
      "top-k cut — the canonical word-count shape at any scale."),
     ("q46_ivf_cluster_pairs",
-     "SemDeDup-shaped near-dup candidates: frozen-quantizer argmin assigns "
-     "cluster per row (no join), then the self-join keys on cluster — the "
-     "vector table's natural partition key, so at scale this is a "
-     "co-located join after partitioning by cluster, not a wide shuffle."),
+     "SemDeDup-shaped near-dup candidates (r9 shape): MapInArrow assigns "
+     "cluster per batch, ONE Exchange on cluster (was a SortMergeJoin with "
+     "2 Exchanges of normalized 64-double arrays), and a per-cluster "
+     "applyInPandas kernel scores all (a<b) pairs in NumPy with the "
+     "threshold in-kernel — the quadratic pair set never materializes as "
+     "JVM rows.  cluster stays the vector table's natural partition key, "
+     "so at scale the single Exchange is the co-location shuffle."),
     ("q43_embedding_near_dup_keepers",
      "Connected-component keepers: the plan below is a bare checkpoint scan "
      "BY DESIGN — each pointer-jumping round ends in one materializing "
      "localCheckpoint (or parquet spill with checkpoint_dir=), so the "
      "returned labels never drag the iterative join chain behind them; "
-     "per-round cost is 3 bounded joins + 1 aggregate on uniform keys, "
-     "O(log diameter) rounds total."),
+     "per-round cost is 2 bounded joins + 1 aggregate on uniform keys (r9: "
+     "self-loop edges fold the own-vs-neighbor least into the aggregation, "
+     "the jump composes the CURRENT round's mapping, and the convergence "
+     "count rides the checkpoint's own Observation), O(log diameter) "
+     "rounds."),
     ("q51_frame_sample",
      "Frame sampling: columnar scan feeds mapInPandas directly — the 1-to-"
      "many fan-out (variable rows per video) happens INSIDE the Arrow "
