@@ -215,3 +215,48 @@ def test_bounded_lineage_via_checkpoint(spark):
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
     assert "Join" not in plan, f"labels should be checkpoint-rooted, got:\n{plan}"
+
+
+def test_densify_pairs_labels_identical_fewer_rounds(spark):
+    """densify_pairs (r9) must not change components — only cut rounds.
+    Chain of 24: raw diameter 23; densified distance-2 edges halve it."""
+    from docling_service_spark.queries.similarity import densify_pairs
+
+    verts = _verts(spark, 24)
+    chain = _pairs(spark, [(i, i + 1) for i in range(23)])
+    base, rounds_a = connected_components(verts, chain)
+    dense, rounds_b = connected_components(verts, densify_pairs(chain))
+    got_a = {r.vec_id: r.keeper_id for r in base.collect()}
+    got_b = {r.vec_id: r.keeper_id for r in dense.collect()}
+    assert got_a == got_b == {i: 0 for i in range(24)}
+    assert rounds_b <= rounds_a
+
+
+def test_densify_pairs_labels_identical_mixed_graph(spark):
+    """Mixed shapes (chain + triangle + star + singletons): byte-identical
+    labels with and without densification."""
+    from docling_service_spark.queries.similarity import densify_pairs
+
+    edges = ([(i, i + 1) for i in range(5)]          # chain 0-5
+             + [(7, 8), (8, 9), (7, 9)]              # triangle
+             + [(11, j) for j in range(12, 17)])     # star hub 11
+    verts = _verts(spark, 20)
+    base, _ = connected_components(verts, _pairs(spark, edges))
+    dense, _ = connected_components(verts, densify_pairs(_pairs(spark, edges)))
+    assert ({r.vec_id: r.keeper_id for r in base.collect()}
+            == {r.vec_id: r.keeper_id for r in dense.collect()})
+
+
+def test_densify_degree_cap_excludes_hubs(spark, monkeypatch):
+    """A middle vertex above the degree cap contributes NO squared pairs
+    (the blowup guard) — components still come out right because the hub's
+    own edges stay."""
+    from docling_service_spark.queries import similarity as sim
+
+    monkeypatch.setattr(sim, "DENSIFY_MAX_MID_DEGREE", 3)
+    star = [(0, j) for j in range(1, 6)]  # hub 0, degree 5 > cap 3
+    dense = sim.densify_pairs(_pairs(spark, star))
+    rows = sorted((r.id_a, r.id_b) for r in dense.collect())
+    assert rows == sorted(star)  # no (leaf, leaf) pairs added through the hub
+    labels, _ = connected_components(_verts(spark, 6), dense)
+    assert {r.vec_id: r.keeper_id for r in labels.collect()} == {i: 0 for i in range(6)}
